@@ -1,0 +1,171 @@
+"""Per-document extraction + span emission.
+
+This is the whole per-document dataflow of the reference CLI
+(render → OCR → clean → boilerplate strip → paragraph rebuild → format
+sinks; /root/reference/pdf2ocr/converters/pdf.py:639-746) re-expressed as
+one pure function: ``document -> output span rows``. Instead of writing
+PDF/DOCX/HTML/EPUB files, each format emits typed rows into the
+``spans_out`` relation:
+
+    (doc_id, kind, text, media_ref, offset)
+
+Kinds:
+    text        reflowed plain-text lines (greedy word-wrap, the analogue of
+                the reference's reportlab text PDF sink, pdf.py:33-137)
+    docx_para   one row per whole-document paragraph (docx.py:13-61)
+    html        one row per ``<p>…</p>`` element, per page (html.py:10-135)
+    markdown    one row per markdown block (headings -> '#', lists kept) —
+                engine extension; the reference has no markdown sink
+    page_header one row per non-empty page: 'pdf2ocr - Page N' (1-based,
+                empty pages skipped — pdf.py:82-93, html.py:113-121)
+    media_ref   interleaved media spans passed through in original order
+                (engine extension; the reference ignores non-text content)
+
+``offset`` numbers rows 0.. within each (doc_id, kind), in emission order.
+
+Everything here is pure Python over small per-document data; vectorization
+happens ACROSS documents in the Arrow batch stage that calls this.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+from pdf2ocr_spark.kernel.textproc import (
+    _looks_like_heading,
+    _looks_like_list_item,
+    clean_portuguese_charset,
+    reassemble_paragraphs,
+    strip_boilerplate_lines,
+)
+
+ALL_FORMATS = ("text", "docx_para", "html", "markdown")
+
+#: greedy word-wrap budget for the reflowed ``text`` kind. The reference
+#: wraps by Helvetica 10pt string width against an A4 text column
+#: (pdf.py:96-118, width - 4cm ≈ 482pt ≈ 95 average glyphs); this engine
+#: fixes the budget in characters so output is font-independent.
+TEXT_WRAP_COLUMNS = 95
+
+PAGE_HEADER_TEMPLATE = "pdf2ocr - Page {n}"
+
+SpanRow = Tuple[str, str, Optional[str], Optional[str], int]  # doc_id, kind, text, media_ref, offset
+
+
+def wrap_paragraph(text: str, columns: int = TEXT_WRAP_COLUMNS) -> List[str]:
+    """Greedy word wrap: words accumulate onto a line until appending the
+    next word would exceed ``columns``; an overlong single word occupies its
+    own line untruncated.
+    """
+    lines: List[str] = []
+    line = ""
+    for word in text.split():
+        candidate = f"{line} {word}" if line else word
+        if line and len(candidate) > columns:
+            lines.append(line)
+            line = word
+        else:
+            line = candidate
+    if line:
+        lines.append(line)
+    return lines
+
+
+def _page_texts_in_order(spans: Sequence[dict]) -> Tuple[List[str], List[str]]:
+    """Split a document's interleaved spans into ordered page texts and
+    ordered media refs (both by ``offset``)."""
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    pages = [s.get("text") or "" for s in ordered if s.get("kind") == "page"]
+    media = [s["media_ref"] for s in ordered
+             if s.get("kind") == "media" and s.get("media_ref")]
+    return pages, media
+
+
+def markdown_blocks(paragraphs: Sequence[str]) -> List[str]:
+    """Render rebuilt paragraphs as markdown blocks: heading-shaped
+    paragraphs become '# ' headings, list items stay verbatim, everything
+    else is a plain paragraph."""
+    out = []
+    for para in paragraphs:
+        if _looks_like_heading(para):
+            out.append(f"# {para}")
+        elif _looks_like_list_item(para):
+            out.append(para)
+        else:
+            out.append(para)
+    return out
+
+
+def extract_document(
+    doc_id: str,
+    spans: Sequence[dict],
+    formats: Sequence[str] = ALL_FORMATS,
+    lang: str = "eng",
+    max_sentences: Optional[int] = None,
+) -> List[SpanRow]:
+    """Run the full extraction pipeline for one document and return its
+    output span rows. Deterministic; independent of partitioning.
+    """
+    pages, media = _page_texts_in_order(spans)
+
+    # OCR-language post-clean (ocr.py:261-263: applied per page, Portuguese only)
+    if lang.lower() == "por":
+        pages = [clean_portuguese_charset(p) for p in pages]
+
+    # whole-document header/footer strip (needs all pages: common.py:116-150)
+    pages = strip_boilerplate_lines(pages)
+
+    rows: List[SpanRow] = []
+    counters: Dict[str, int] = {}
+
+    def emit(kind: str, text: Optional[str], media_ref: Optional[str] = None) -> None:
+        idx = counters.get(kind, 0)
+        counters[kind] = idx + 1
+        rows.append((doc_id, kind, text, media_ref, idx))
+
+    want = set(formats)
+
+    # --- per-page formats (text + html share the 1-based non-empty-page
+    # numbering and the page_header emission; pdf.py:82-93 / html.py:113-121)
+    if want & {"text", "html"}:
+        page_no = 0
+        for page_text in pages:
+            paragraphs = reassemble_paragraphs(page_text, max_sentences)
+            if not paragraphs:
+                continue
+            page_no += 1
+            emit("page_header", PAGE_HEADER_TEMPLATE.format(n=page_no))
+            for para in paragraphs:
+                if "html" in want:
+                    emit("html", f"<p>{para}</p>")
+                if "text" in want:
+                    for line in wrap_paragraph(para):
+                        emit("text", line)
+
+    # --- whole-document formats
+    if want & {"docx_para", "markdown"}:
+        doc_paragraphs = reassemble_paragraphs(pages, max_sentences)
+        if "docx_para" in want:
+            for para in doc_paragraphs:
+                if para.strip():
+                    emit("docx_para", para.strip())
+        if "markdown" in want:
+            for block in markdown_blocks(doc_paragraphs):
+                emit("markdown", block)
+
+    # --- media passthrough, original relative order
+    for ref in media:
+        emit("media_ref", None, ref)
+
+    return rows
+
+
+def extract_documents(
+    docs: Iterator[Tuple[str, Sequence[dict]]],
+    formats: Sequence[str] = ALL_FORMATS,
+    lang: str = "eng",
+    max_sentences: Optional[int] = None,
+) -> Iterator[SpanRow]:
+    """Batch driver: yield span rows for many documents."""
+    for doc_id, spans in docs:
+        yield from extract_document(doc_id, spans, formats, lang, max_sentences)

@@ -1,0 +1,243 @@
+"""Text-recovery kernels: ligature repair, charset cleaning, reading-order
+paragraph reconstruction, boilerplate (header/footer) stripping, sentence
+splitting.
+
+Semantics match the reference implementation behavior-for-behavior
+(rdantassilva/pdf2ocr, snapshot at /root/reference):
+
+- ligature repair            -> pdf2ocr/converters/common.py:16-33
+- paragraph reconstruction   -> pdf2ocr/converters/common.py:36-113
+- header/footer strip        -> pdf2ocr/converters/common.py:116-150
+- sentence split             -> pdf2ocr/converters/common.py:153-171
+- paragraph pipeline         -> pdf2ocr/converters/common.py:174-220
+  (the reference's ``Optional`` import bug at common.py:5/:177 is fixed
+  here; intended semantics per main.py:174-175 are implemented)
+- Portuguese charset clean   -> pdf2ocr/ocr.py:225-241
+
+All functions are pure and deterministic; they are called once per
+*document* from inside Arrow-batch stages (vectorized across documents,
+sequential within one — the reconstruction FSM is order-sensitive).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Iterable, List, Optional, Sequence, Union
+
+# --- shared regexes ---------------------------------------------------------
+
+#: a paragraph accumulator is "closed" when its last line ends a sentence
+RE_SENTENCE_TERMINAL = re.compile(r"[.!?:;]\s*$")
+
+#: standalone page-number line (1-4 digits, optionally padded by whitespace)
+RE_PAGE_NUMBER_LINE = re.compile(r"^\s*\d{1,4}\s*$")
+
+#: a header this engine family emits itself ("pdf2ocr - Page N"); stripped so
+#: re-processing previously emitted output is idempotent
+RE_SELF_HEADER_LINE = re.compile(r"^pdf2ocr\s*-\s*Page\s*\d+$", re.IGNORECASE)
+
+#: numbered-section / chapter-word heading shapes (Portuguese-centric corpus)
+RE_HEADING_SHAPE = re.compile(
+    r"^(\d{1,2}[\s.)\-–—]+[A-ZÀ-Ú]"
+    r"|Cap[ií]tulo|CAPÍTULO|Introdu|Conclus|Refer[êe]ncias)",
+    re.IGNORECASE,
+)
+
+#: sentence boundary: terminal punctuation followed by whitespace
+RE_SENTENCE_BOUNDARY = re.compile(r"(?<=[.!?…])\s+")
+
+#: bullets that open a list item
+_BULLET_PREFIXES = ("•", "-", "–", "—", "▪")
+
+#: lowercase letters (incl. Portuguese accents) that follow a split ligature
+_LIGATURE_TAIL = "a-záàâãéèêíïóôõúüç"
+
+_LIGATURE_CODEPOINTS = {
+    "ﬀ": "ff",
+    "ﬁ": "fi",
+    "ﬂ": "fl",
+    "ﬃ": "ffi",
+    "ﬄ": "ffl",
+}
+
+_RE_SPLIT_FI = re.compile(rf"fi\s+(?=[{_LIGATURE_TAIL}])")
+_RE_SPLIT_FL = re.compile(rf"fl\s+(?=[{_LIGATURE_TAIL}])")
+_RE_SPLIT_FF = re.compile(rf"ff\s+(?=[{_LIGATURE_TAIL}])")
+
+# Portuguese charset allowlist (everything else is stripped when lang='por')
+_PT_ALLOWED_CLASS = (
+    "a-zA-Z0-9"
+    "áéíóúàãõâêôç"
+    "ÁÉÍÓÚÀÃÕÂÊÔÇ"
+    "\\s"
+    "\\.,;:?!()\\[\\]{}\\-\"'"
+)
+_RE_PT_DISALLOWED = re.compile(f"[^{_PT_ALLOWED_CLASS}]")
+
+
+def repair_ligatures(text: str) -> str:
+    """Undo OCR ligature damage.
+
+    Unicode ligature codepoints (U+FB00..U+FB04) become their ASCII
+    expansions, and OCR-split ligatures ("efi cácia", "refl exão") are
+    rejoined when the fragment is followed by a lowercase letter.
+    Ref parity: converters/common.py:16-33.
+    """
+    for cp, expansion in _LIGATURE_CODEPOINTS.items():
+        text = text.replace(cp, expansion)
+    text = _RE_SPLIT_FI.sub("fi", text)
+    text = _RE_SPLIT_FL.sub("fl", text)
+    return _RE_SPLIT_FF.sub("ff", text)
+
+
+def clean_portuguese_charset(text: str) -> str:
+    """Drop characters outside the Portuguese letters + digits + basic
+    punctuation + whitespace allowlist. Ref parity: ocr.py:225-241 (applied
+    only when the OCR language is 'por', ocr.py:261-263 — the caller gates).
+    """
+    return _RE_PT_DISALLOWED.sub("", text)
+
+
+def _looks_like_heading(line: str) -> bool:
+    return (line.isupper() and len(line) > 3) or bool(RE_HEADING_SHAPE.match(line))
+
+
+def _looks_like_list_item(line: str) -> bool:
+    if line.startswith(_BULLET_PREFIXES):
+        return True
+    return len(line) > 2 and line[0].isdigit() and line[1] in ".)"
+
+
+def rebuild_paragraphs(text: str) -> str:
+    """Merge per-visual-line OCR output back into logical paragraphs.
+
+    Rules (ref parity: converters/common.py:36-113):
+      * a blank line flushes the open paragraph only if its last line ends
+        with sentence-terminal punctuation; otherwise it is OCR noise
+      * page-number-only lines and self-emitted "pdf2ocr - Page N" headers
+        are dropped
+      * heading-shaped lines flush and stand alone as their own paragraph
+      * bullet / numbered list items flush and open a fresh paragraph
+      * sentence-terminal punctuation followed by an uppercase-initial line
+        is a paragraph boundary
+      * everything else concatenates onto the open paragraph with spaces
+
+    Output paragraphs are joined with blank lines ("\\n\\n") and ligatures
+    are repaired on the final string.
+    """
+    raw_lines = text.splitlines()
+    if not raw_lines:
+        return text
+
+    done: List[str] = []
+    open_para: List[str] = []
+
+    def flush() -> None:
+        if open_para:
+            done.append(" ".join(open_para))
+            open_para.clear()
+
+    for raw in raw_lines:
+        line = raw.strip()
+
+        if not line:
+            # blank line: only a real paragraph break if the open paragraph
+            # already reads as a finished sentence
+            if open_para and RE_SENTENCE_TERMINAL.search(open_para[-1]):
+                flush()
+            continue
+
+        if RE_PAGE_NUMBER_LINE.match(line) or RE_SELF_HEADER_LINE.match(line):
+            continue
+
+        if _looks_like_heading(line):
+            flush()
+            done.append(line)
+            continue
+
+        if _looks_like_list_item(line):
+            flush()
+            open_para.append(line)
+            continue
+
+        if open_para:
+            ended = RE_SENTENCE_TERMINAL.search(open_para[-1])
+            if ended and line[0].isupper():
+                flush()
+        open_para.append(line)
+
+    flush()
+    return repair_ligatures("\n\n".join(done))
+
+
+def strip_boilerplate_lines(pages: Sequence[str]) -> List[str]:
+    """Remove running headers/footers that repeat across most pages.
+
+    A line is boilerplate when its stripped form occurs within the first two
+    or last two lines of at least 60% of the document's pages (each page
+    contributes each candidate at most once). Documents shorter than three
+    pages are returned untouched. Ref parity: converters/common.py:116-150.
+    """
+    n_pages = len(pages)
+    if n_pages < 3:
+        return list(pages)
+
+    page_hits: Counter = Counter()
+    for page in pages:
+        lines = page.split("\n")
+        edge = lines[:2] + lines[-2:]
+        page_hits.update({ln.strip() for ln in edge if ln.strip()})
+
+    cutoff = n_pages * 0.6
+    boilerplate = {ln for ln, hits in page_hits.items() if hits >= cutoff}
+    if not boilerplate:
+        return list(pages)
+
+    return [
+        "\n".join(ln for ln in page.split("\n") if ln.strip() not in boilerplate)
+        for page in pages
+    ]
+
+
+def split_paragraph_by_sentences(text: str, max_sentences: int) -> List[str]:
+    """Chunk an over-long paragraph at sentence boundaries so each chunk has
+    at most ``max_sentences`` sentences. Ref parity: common.py:153-171.
+    """
+    sentences = RE_SENTENCE_BOUNDARY.split(text)
+    if len(sentences) <= max_sentences:
+        return [text]
+    return [
+        chunk
+        for i in range(0, len(sentences), max_sentences)
+        if (chunk := " ".join(sentences[i : i + max_sentences])).strip()
+    ]
+
+
+def reassemble_paragraphs(
+    text: Union[str, Iterable[str]],
+    max_sentences: Optional[int] = None,
+) -> List[str]:
+    """Full per-document paragraph pipeline: join pages, normalize line
+    endings, rebuild paragraphs, collapse intra-paragraph whitespace, and
+    optionally split over-long paragraphs. Ref parity: common.py:174-220
+    (with the reference's ``Optional`` NameError fixed — see module doc).
+    """
+    if not isinstance(text, str):
+        text = "\n\n".join(text)
+
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    text = rebuild_paragraphs(text)
+
+    out: List[str] = []
+    for block in text.split("\n\n"):
+        if not block.strip():
+            continue
+        flat = " ".join(piece.strip() for piece in block.split("\n") if piece.strip())
+        if not flat:
+            continue
+        if max_sentences and max_sentences > 0:
+            out.extend(split_paragraph_by_sentences(flat, max_sentences))
+        else:
+            out.append(flat)
+    return out
