@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Tuned for the Arrow-heavy extraction workload; every setting here is also
+what we would ship in spark-defaults.conf on a real multi-executor cluster
+(where ``local[N]`` becomes executor counts and AQE handles stragglers).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS = {
+    # Arrow end-to-end: the kernel stages are mapInPandas/applyInPandas
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    # AQE: runtime partition coalescing + skew handling on a real cluster
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # parquet scans: stay vectorized, prune aggressively
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # keep driver-side results reasonable during tests
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "pdf2ocr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.default.parallelism", str(shuffle_partitions))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
