@@ -3,8 +3,15 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``pdf2ocr_spark`` (see SURVEY.md §7). Registered queries:
+
+- SQL-expressible operators (SURVEY §2.2/§2.4/§2.5) with DuckDB oracles
+  → pdf2ocr_spark/plans/queries.py
+- the full extraction pipeline (paragraph-FSM based, inherently
+  non-SQL-expressible per SURVEY §2.4) registered rows-only:
+  ``extract_pipeline`` and ``docs_corpus`` have no oracle entry.
 """
 
 from __future__ import annotations
@@ -13,26 +20,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf2ocr_spark.pipeline import load_docs_corpus, run_pipeline
+from pdf2ocr_spark.plans import ORACLE_SQL, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full OCR-text extraction pipeline over the sf0.001
+    interleaved docs corpus; returns the spans_out relation."""
+    return run_pipeline(spark, "/root/testdata/sf0.001", num_partitions=8)
+
+
+def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_pipeline(spark, sf_dir, num_partitions=16)
+
+
+def _q_docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    # summarize the interleaved corpus per doc (rows-only check: the spans
+    # array itself is the non-SQL-derivable part)
+    return load_docs_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "page")).alias("n_pages"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
+    out["extract_pipeline"] = _q_extract_pipeline
+    out["docs_corpus"] = _q_docs_corpus
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query; non-SQL-expressible ops (the paragraph
+    FSM pipeline and the seeded corpus generator) are intentionally absent
+    → rows-only check."""
+    return dict(ORACLE_SQL)

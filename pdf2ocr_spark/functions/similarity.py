@@ -1,0 +1,150 @@
+"""Similarity search over the embeddings relation (array<float>[64]).
+
+- ``cosine_topk``     brute-force exact top-k for a deterministic query set
+                      (baseline; O(Q*N) with Q small -> broadcast join)
+- ``ann_lsh_topk``    random-hyperplane LSH bucketing (sign-bit sketch) +
+                      top-k within bucket — the scale path: buckets shrink
+                      the candidate set ~2^planes-fold; at 10^12 rows the
+                      bucket id becomes the table's partition key so a
+                      query probes one partition.
+
+All math is done in double precision with explicit sequential folds so the
+DuckDB oracle (functions/similarity_sql.py) computes bit-comparable scores
+(rounded to 4 decimals for the hash gate).
+
+No Python UDFs: dot products are ``zip_with`` + ``aggregate`` column
+expressions (JVM codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+QUERY_STRIDE = 50  # vec_id % 50 == 0 -> deterministic query set
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors for the query set. Query side is tiny
+    (N/QUERY_STRIDE rows) -> broadcast; the big side streams. Returns
+    (query_id, neighbor_id, rank, score)."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def _plane_sign(vec: Column, plane: int) -> Column:
+    """Sign bit of <vec, h_plane> where h_plane[d] = +-1 from md5(plane:d) —
+    the deterministic 'random' hyperplane both engines can derive."""
+    coefs = [
+        F.when(
+            F.conv(
+                F.md5(F.lit(f"{plane}:{d}")).substr(1, 8), 16, 10
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        for d in range(DIM)
+    ]
+    dot = None
+    for d in range(DIM):
+        term = F.element_at(vec, d + 1) * coefs[d]
+        dot = term if dot is None else dot + term
+    return (dot > 0).cast("long")
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Bucket id = integer of the n sign bits."""
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        acc = acc + _plane_sign(vec, p) * F.lit(2**p)
+    return acc
+
+
+def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    Returns (query_id, neighbor_id, rank, score) — may differ from exact
+    top-k (that is the approximation), deterministically in both engines."""
+    from pyspark.sql.window import Window
+
+    base = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", lsh_bucket(F.col("e")))
+    )
+    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = base.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 4).alias("score"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""DuckDB oracles for functions/similarity.py and functions/quality.py.
+
+Dot products are explicit sequential folds over ``range(DIM)`` in double
+precision so scores match Spark's ``zip_with``+``aggregate`` fold bit-for-
+bit after round(4).
+"""
+
+from pdf2ocr_spark.functions.quality import FINGERPRINT_K, LANGS, STOPWORDS
+from pdf2ocr_spark.functions.similarity import (
+    DIM,
+    N_PLANES,
+    QUERY_STRIDE,
+    TOP_K,
+)
+
+_BASE = f"""
+base AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+queries AS (
+    SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM base
+    WHERE vec_id % {QUERY_STRIDE} = 0
+)
+"""
+
+SQL_COSINE_TOPK = f"""
+WITH {_BASE},
+scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range({DIM}),
+                    i -> q.qe[i + 1] * b.e[i + 1])) / (q.qnrm * b.nrm) AS score
+    FROM base b, queries q
+    WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+_PLANES = f"""
+planes AS (
+    SELECT p, d,
+           CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END AS c
+    FROM (SELECT unnest(range({N_PLANES})) AS p),
+         (SELECT unnest(range({DIM})) AS d)
+),
+bucketed AS (
+    SELECT b.vec_id, b.e, b.nrm,
+           CAST(sum(CASE WHEN pd.dot > 0 THEN CAST(pow(2, pd.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM base b
+    JOIN (
+        SELECT b2.vec_id, pl.p,
+               sum(b2.e[pl.d + 1] * pl.c) AS dot
+        FROM base b2 JOIN planes pl ON true
+        GROUP BY b2.vec_id, pl.p
+    ) pd ON pd.vec_id = b.vec_id
+    GROUP BY b.vec_id, b.e, b.nrm
+)
+"""
+
+SQL_ANN_LSH_TOPK = f"""
+WITH {_BASE},
+{_PLANES.lstrip()},
+qb AS (
+    SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, bucket AS qbucket
+    FROM bucketed WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range({DIM}),
+                    i -> q.qe[i + 1] * b.e[i + 1])) / (q.qnrm * b.nrm) AS score
+    FROM bucketed b JOIN qb q
+      ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _hits(words: tuple) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist})))"
+    )
+
+
+_SCORE_COLS = ",\n       ".join(
+    f"round({_hits(STOPWORDS[lang])} / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS score_{lang}"
+    for lang in LANGS
+)
+
+_CASE = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"score_{lang} >= score_{other}" for other in LANGS if other != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in LANGS
+) + " END"
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+    SELECT doc_id, lang AS lang_actual,
+       {_SCORE_COLS}
+    FROM documents
+)
+SELECT *, {_CASE} AS lang_pred FROM scored
+"""
+
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id,
+       round(least(1.0, n_chars / 500.0), 4) AS len_score,
+       round({_hits(STOPWORDS['en'])} / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+       round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS diversity,
+       round(0.4 * least(1.0, n_chars / 500.0)
+           + 0.3 * ({_hits(STOPWORDS['en'])} / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           + 0.3 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS quality
+FROM documents
+"""
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       array_to_string(
+           list_transform(
+               list_slice(list_sort(list_transform(
+                   list_distinct(string_split(text, ' ')),
+                   t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))), 1, {FINGERPRINT_K}),
+               h -> CAST(h AS VARCHAR)),
+           '-') AS fingerprint
+FROM documents
+"""

@@ -19,10 +19,68 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def tile_documents(documents: DataFrame, factor: int) -> DataFrame:
+    """Deterministically tile the documents relation ``factor``x with
+    distinct doc_ids (doc_id*factor+replica). Each replica gets different
+    seeded OCR noise downstream (doc_id keys the noise channel), so tiling
+    scales WORK without degenerating the corpus — used by bench.py to
+    amortize fixed job overhead when measuring scaling efficiency."""
+    from pyspark.sql import functions as F
+
+    if factor <= 1:
+        return documents
+    return documents.select(
+        (F.col("doc_id") * factor + F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+        .alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
 def load_docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's input relation, derived deterministically from the
     driver-provided documents table (kernel/docgen.py channel model)."""
     return documents_to_docs(load_documents(spark, sf_dir))
+
+
+def stripe_documents(documents: DataFrame, num_partitions: int) -> DataFrame:
+    """Weight-striped repartition of the SMALL documents relation, before
+    span expansion — the scale-critical move: the shuffle moves ~100-byte
+    rows, not the expanded nested span arrays, and the downstream
+    docgen+extract stages then run fused with no further shuffle.
+
+    The per-doc work weight (words x heavy tiling factor) is predicted with
+    the same md5-derived heavy factor the Python channel uses
+    (kernel/docgen.py:heavy_factor), expressed in pure Catalyst so the
+    planner sees a deterministic column expression.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf2ocr_spark.kernel.docgen import HEAVY_DOC_RATE, HEAVY_MAX_FACTOR
+
+    md5_hex = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":heavy")))
+    u = F.conv(F.substring(md5_hex, 1, 8), 16, 10).cast("double") / F.lit(2.0**32)
+    v = F.conv(F.substring(md5_hex, 9, 8), 16, 10).cast("double") / F.lit(2.0**32)
+    factor = F.when(
+        u >= F.lit(HEAVY_DOC_RATE), F.lit(1)
+    ).otherwise(
+        F.least(
+            F.lit(HEAVY_MAX_FACTOR),
+            F.greatest(
+                F.lit(2),
+                F.floor(F.lit(1.0) / F.greatest(v, F.lit(1.0 / HEAVY_MAX_FACTOR))),
+            ),
+        )
+    )
+    weight = F.size(F.split("text", " ")) * factor
+    wclass = F.floor(F.log2(weight + F.lit(1.0)))
+    key = F.pmod(
+        F.xxhash64(F.col("doc_id").cast("string"), wclass.cast("long")),
+        F.lit(num_partitions),
+    ).cast("int")
+    return documents.repartition(num_partitions, key)
 
 
 def run_pipeline(
@@ -32,15 +90,21 @@ def run_pipeline(
     lang: str = "eng",
     max_sentences: Optional[int] = None,
     num_partitions: Optional[int] = None,
+    tile: int = 1,
 ) -> DataFrame:
-    """documents.parquet -> docs -> spans_out DataFrame (lazy)."""
+    """documents.parquet -> stripe -> docs -> spans_out DataFrame (lazy).
+
+    Physical plan: parquet scan -> ONE small-row shuffle (weight-striped)
+    -> fused docgen+extract mapInPandas stages (no nested-data shuffle).
+    """
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
-    docs = load_docs_corpus(spark, sf_dir)
+    documents = tile_documents(load_documents(spark, sf_dir), tile)
+    docs = documents_to_docs(stripe_documents(documents, num_partitions))
     return extract_spans(
         docs,
         formats=formats,
         lang=lang,
         max_sentences=max_sentences,
-        num_partitions=num_partitions,
+        num_partitions=None,  # already balanced pre-expansion
     )

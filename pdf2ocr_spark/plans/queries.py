@@ -1,0 +1,570 @@
+"""Oracle-checked named queries.
+
+Each entry pairs a Spark DataFrame builder (Catalyst-native, column
+expressions only — no Python UDFs) with a DuckDB ANSI-SQL oracle over the
+same parquet tables. Both sides implement the SAME declarative spec, so
+the driver's sf0.01 row-count/schema/value-hash comparison is a real
+correctness gate (see /root/repo/__spark_entry__.py).
+
+The queries re-express the reference's text operators relationally
+(SURVEY.md §2.2/§2.4/§2.5, file:line cited per query) over the
+driver-provided ``documents`` table. Line/page structure is derived with a
+fixed shared spec:
+
+    tokens:   pos0 = 0-based word position in split(text, ' ')
+    lines:    2 consecutive words            (line_no in page: 0..9)
+    pages:    10 lines = 20 words
+    header:   every page also carries a synthetic running-header line
+              'Journal of <source>' (line_no -1) and a page-number footer
+              line str(page_id+1) (line_no 99) — the relational stand-ins
+              for the OCR channel artifacts the kernel pipeline handles.
+
+Dialect notes: patterns avoid lookarounds (DuckDB is RE2); DuckDB
+regexp_replace needs the 'g' flag to match Spark's global default;
+backreference is $1 (Spark) vs \\1 (DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINE_WORDS = 2
+PAGE_LINES = 10
+PAGE_WORDS = LINE_WORDS * PAGE_LINES
+
+# Portuguese charset allowlist — must stay identical to kernel/textproc.py
+PT_DISALLOWED = "[^a-zA-Z0-9áéíóúàãõâêôçÁÉÍÓÚÀÃÕÂÊÔÇ\\s.,;:?!()\\[\\]{}\"'-]"
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --------------------------------------------------------------------------
+# shared derived relations (Spark side)
+# --------------------------------------------------------------------------
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    )
+
+
+def _body_lines(docs: DataFrame) -> DataFrame:
+    t = _tokens(docs).select(
+        "doc_id",
+        (F.col("pos0") / PAGE_WORDS).cast("long").alias("page_id"),
+        ((F.col("pos0") % PAGE_WORDS) / LINE_WORDS).cast("long").alias("line_no"),
+        "pos0",
+        "word",
+    )
+    return t.groupBy("doc_id", "page_id", "line_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("line_text")
+    )
+
+
+def _all_lines(docs: DataFrame) -> DataFrame:
+    """Body lines + synthetic header/footer lines per page."""
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(F.split("text", " ")) / F.lit(PAGE_WORDS)).cast("long")
+                - 1,
+            )
+        ).alias("page_id"),
+    )
+    headers = pages.select(
+        "doc_id",
+        "page_id",
+        F.lit(-1).cast("long").alias("line_no"),
+        F.concat(F.lit("Journal of "), F.col("source")).alias("line_text"),
+    )
+    footers = pages.select(
+        "doc_id",
+        "page_id",
+        F.lit(99).cast("long").alias("line_no"),
+        (F.col("page_id") + 1).cast("string").alias("line_text"),
+    )
+    return _body_lines(docs).unionByName(headers).unionByName(footers)
+
+
+# DuckDB-side shared CTEs, textually identical spec
+_SQL_LINES_CTE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos0
+    FROM documents
+),
+body_lines AS (
+    SELECT doc_id,
+           pos0 // {PAGE_WORDS} AS page_id,
+           (pos0 % {PAGE_WORDS}) // {LINE_WORDS} AS line_no,
+           string_agg(word, ' ' ORDER BY pos0) AS line_text
+    FROM toks
+    GROUP BY doc_id, pos0 // {PAGE_WORDS}, (pos0 % {PAGE_WORDS}) // {LINE_WORDS}
+),
+pages AS (
+    SELECT doc_id, source,
+           unnest(range(CAST(ceil(len(string_split(text, ' ')) / {PAGE_WORDS}.0) AS BIGINT))) AS page_id
+    FROM documents
+),
+all_lines AS (
+    SELECT doc_id, page_id, line_no, line_text FROM body_lines
+    UNION ALL
+    SELECT doc_id, page_id, CAST(-1 AS BIGINT), 'Journal of ' || source FROM pages
+    UNION ALL
+    SELECT doc_id, page_id, CAST(99 AS BIGINT), CAST(page_id + 1 AS VARCHAR) FROM pages
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_ligature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ligature damage + repair round-trip (ref converters/common.py:16-33).
+
+    Damages every 'fi'+lowercase with an OCR-style split space, repairs it
+    with the engine's ligature rule, and checks restoration.
+    """
+    docs = _documents(spark, sf_dir)
+    damaged = F.regexp_replace("text", "fi([a-z])", "fi $1")
+    fixed = F.regexp_replace(damaged, "fi\\s+([a-z])", "fi$1")
+    return docs.select(
+        "doc_id",
+        fixed.alias("fixed_text"),
+        (fixed == F.col("text")).alias("restored"),
+    )
+
+
+SQL_LIGATURE = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, 'fi([a-z])', 'fi \1', 'g'),
+                      'fi\s+([a-z])', 'fi\1', 'g') AS fixed_text,
+       regexp_replace(regexp_replace(text, 'fi([a-z])', 'fi \1', 'g'),
+                      'fi\s+([a-z])', 'fi\1', 'g') = text AS restored
+FROM documents
+"""
+
+
+def q_pt_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portuguese charset clean, language-gated (ref ocr.py:225-241,261-263)."""
+    docs = _documents(spark, sf_dir)
+    cleaned = F.when(
+        F.col("lang").isin("pt", "es"), F.regexp_replace("text", PT_DISALLOWED, "")
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", "lang", cleaned.alias("clean_text"))
+
+
+SQL_PT_CLEAN = f"""
+SELECT doc_id, lang,
+       CASE WHEN lang IN ('pt', 'es')
+            THEN regexp_replace(text, '{PT_DISALLOWED.replace("'", "''")}', '', 'g')
+            ELSE text END AS clean_text
+FROM documents
+"""
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation + max_sentences chunking counts
+    (ref common.py:153-171; split regex [.!?…]\\s+ without lookbehind)."""
+    docs = _documents(spark, sf_dir)
+    punctuated = F.regexp_replace("text", "\\sthe\\s", ". The ")
+    n_sent = (
+        F.size(F.regexp_extract_all(punctuated, F.lit("[.!?…]\\s+"), 0)) + 1
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        ((n_sent + 4) / 5).cast("long").alias("n_chunks"),
+    )
+
+
+SQL_SENTENCE_CHUNKS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(regexp_replace(text, '\sthe\s', '. The ', 'g'),
+                                   '[.!?…]\s+')) + 1 AS BIGINT) AS n_sentences,
+       CAST((len(regexp_extract_all(regexp_replace(text, '\sthe\s', '. The ', 'g'),
+                                    '[.!?…]\s+')) + 1 + 4) // 5 AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish regex
+    tokens (training-data op; SURVEY §2.2 whitespace collapse analogue)."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus summary aggregates (ref converters/pdf.py:1016-1032)."""
+    docs = _documents(spark, sf_dir)
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_SUMMARY_STATS = """
+SELECT source, lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       sum(n_chars) AS total_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY source, lang
+"""
+
+
+def q_page_number_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone page-number line filter (ref common.py:8,73)."""
+    lines = _all_lines(_documents(spark, sf_dir))
+    is_pagenum = F.col("line_text").rlike("^\\s*\\d{1,4}\\s*$")
+    return lines.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(is_pagenum.cast("long")).alias("n_pagenum_lines"),
+    )
+
+
+SQL_PAGE_NUMBER_FILTER = (
+    _SQL_LINES_CTE
+    + r"""
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN regexp_matches(line_text, '^\s*\d{1,4}\s*$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pagenum_lines
+FROM all_lines
+GROUP BY doc_id
+"""
+)
+
+
+def q_heading_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading predicate over lines (ref common.py:10-13,76-78): lines with
+    line_no 0 are upper-cased by the channel, then detected ALL-CAPS."""
+    lines = _all_lines(_documents(spark, sf_dir))
+    line_up = F.when(
+        F.col("line_no") == 0, F.upper("line_text")
+    ).otherwise(F.col("line_text"))
+    is_heading = (line_up == F.upper(line_up)) & (F.length(line_up) > 3) & (
+        ~line_up.rlike("^[0-9 ]*$")
+    )
+    return lines.groupBy("doc_id").agg(
+        F.sum(is_heading.cast("long")).alias("n_heading_lines"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_HEADING_DETECT = (
+    _SQL_LINES_CTE
+    + r"""
+, upl AS (
+    SELECT doc_id,
+           CASE WHEN line_no = 0 THEN upper(line_text) ELSE line_text END AS line_up
+    FROM all_lines
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN line_up = upper(line_up) AND length(line_up) > 3
+                          AND NOT regexp_matches(line_up, '^[0-9 ]*$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_heading_lines,
+       count(*) AS n_lines
+FROM upl
+GROUP BY doc_id
+"""
+)
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated header/footer strip as a relational plan (ref
+    common.py:116-150): edge lines (first/last two by position) -> per-doc
+    distinct-page frequency >= 60% with >= 3 pages -> anti-join filter.
+    Returns per-doc totals (pages, boilerplate lines, kept lines).
+    """
+    from pyspark.sql.window import Window
+
+    lines = _all_lines(_documents(spark, sf_dir)).cache()
+
+    w_asc = Window.partitionBy("doc_id", "page_id").orderBy("line_no")
+    w_desc = Window.partitionBy("doc_id", "page_id").orderBy(F.desc("line_no"))
+    edges = (
+        lines.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .where((F.col("rn_a") <= 2) | (F.col("rn_d") <= 2))
+        .select("doc_id", "page_id", "line_text")
+        .distinct()
+    )
+
+    npages = lines.groupBy("doc_id").agg(
+        (F.max("page_id") + 1).alias("n_pages")
+    )
+    boiler = (
+        edges.groupBy("doc_id", "line_text")
+        .agg(F.countDistinct("page_id").alias("n_hit_pages"))
+        .join(npages, "doc_id")
+        .where((F.col("n_pages") >= 3) & (F.col("n_hit_pages") >= 0.6 * F.col("n_pages")))
+        .select("doc_id", "line_text")
+    )
+
+    kept = lines.join(boiler, ["doc_id", "line_text"], "left_anti")
+    n_boiler = boiler.groupBy("doc_id").agg(F.count("*").alias("n_boiler_lines"))
+    n_kept = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept_lines"))
+    return (
+        npages.join(n_boiler, "doc_id", "left")
+        .join(n_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.coalesce("n_boiler_lines", F.lit(0)).cast("long").alias("n_boiler_lines"),
+            F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias("n_kept_lines"),
+        )
+    )
+
+
+SQL_BOILERPLATE_STRIP = (
+    _SQL_LINES_CTE
+    + r"""
+, edges AS (
+    SELECT DISTINCT doc_id, page_id, line_text
+    FROM (
+        SELECT doc_id, page_id, line_text,
+               row_number() OVER (PARTITION BY doc_id, page_id ORDER BY line_no) AS rn_a,
+               row_number() OVER (PARTITION BY doc_id, page_id ORDER BY line_no DESC) AS rn_d
+        FROM all_lines
+    )
+    WHERE rn_a <= 2 OR rn_d <= 2
+),
+npages AS (
+    SELECT doc_id, max(page_id) + 1 AS n_pages FROM all_lines GROUP BY doc_id
+),
+boiler AS (
+    SELECT e.doc_id, e.line_text
+    FROM (
+        SELECT doc_id, line_text, count(DISTINCT page_id) AS n_hit_pages
+        FROM edges GROUP BY doc_id, line_text
+    ) e
+    JOIN npages np ON e.doc_id = np.doc_id
+    WHERE np.n_pages >= 3 AND e.n_hit_pages >= 0.6 * np.n_pages
+),
+kept AS (
+    SELECT al.* FROM all_lines al
+    ANTI JOIN boiler b ON al.doc_id = b.doc_id AND al.line_text = b.line_text
+)
+SELECT np.doc_id,
+       CAST(np.n_pages AS BIGINT) AS n_pages,
+       CAST(coalesce(nb.n_boiler_lines, 0) AS BIGINT) AS n_boiler_lines,
+       CAST(coalesce(nk.n_kept_lines, 0) AS BIGINT) AS n_kept_lines
+FROM npages np
+LEFT JOIN (SELECT doc_id, count(*) AS n_boiler_lines FROM boiler GROUP BY doc_id) nb
+       ON np.doc_id = nb.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS n_kept_lines FROM kept GROUP BY doc_id) nk
+       ON np.doc_id = nk.doc_id
+"""
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate grouping on a normalized key (training-data op):
+    3-token prefix as the near-dup blocking key."""
+    docs = _documents(spark, sf_dir)
+    key = F.array_join(F.slice(F.split("text", " "), 1, 3), " ")
+    return (
+        docs.select("doc_id", key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS dup_key,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+def q_filename_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename -> title projection (ref pdf.py:68 etc.): model each doc's
+    'filename' as source_docNNN.pdf and derive the display title."""
+    docs = _documents(spark, sf_dir)
+    fname = F.concat("source", F.lit("_doc"), F.col("doc_id").cast("string"), F.lit(".pdf"))
+    title = F.regexp_replace(
+        F.regexp_replace(fname, "\\.pdf$", ""), "_", " "
+    )
+    return docs.select("doc_id", fname.alias("filename"), title.alias("title"))
+
+
+SQL_FILENAME_TITLE = r"""
+SELECT doc_id,
+       source || '_doc' || CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
+       regexp_replace(regexp_replace(source || '_doc' || CAST(doc_id AS VARCHAR) || '.pdf',
+                      '\.pdf$', ''), '_', ' ', 'g') AS title
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (functions/: dedup, similarity, quality)
+# --------------------------------------------------------------------------
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_documents(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.similarity import cosine_topk
+
+    return cosine_topk(_embeddings(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_embeddings(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.quality import lang_id
+
+    return lang_id(_documents(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.quality import quality_score
+
+    return quality_score(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.quality import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ligature_roundtrip": q_ligature_roundtrip,
+    "pt_clean": q_pt_clean,
+    "sentence_chunks": q_sentence_chunks,
+    "token_stats": q_token_stats,
+    "summary_stats": q_summary_stats,
+    "page_number_filter": q_page_number_filter,
+    "heading_detect": q_heading_detect,
+    "boilerplate_strip": q_boilerplate_strip,
+    "dedup_exact": q_dedup_exact,
+    "filename_title": q_filename_title,
+    "dedup_exact_full": q_dedup_exact_full,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_cosine_topk": q_cosine_topk,
+    "similarity_ann_lsh": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_fingerprint,
+}
+
+
+def _training_oracle_sql() -> Dict[str, str]:
+    from pdf2ocr_spark.functions.dedup_sql import (
+        SQL_DEDUP_EXACT_FULL,
+        SQL_DEDUP_MINHASH,
+        SQL_DEDUP_NGRAM_JACCARD,
+        SQL_DEDUP_SIMHASH,
+    )
+    from pdf2ocr_spark.functions.similarity_sql import (
+        SQL_ANN_LSH_TOPK,
+        SQL_COSINE_TOPK,
+        SQL_FINGERPRINT,
+        SQL_LANG_ID,
+        SQL_QUALITY_SCORE,
+    )
+
+    return {
+        "dedup_exact_full": SQL_DEDUP_EXACT_FULL,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "similarity_cosine_topk": SQL_COSINE_TOPK,
+        "similarity_ann_lsh": SQL_ANN_LSH_TOPK,
+        "lang_id": SQL_LANG_ID,
+        "quality_score": SQL_QUALITY_SCORE,
+        "doc_fingerprint": SQL_FINGERPRINT,
+    }
+
+
+ORACLE_SQL: Dict[str, str] = {
+    "ligature_roundtrip": SQL_LIGATURE,
+    "pt_clean": SQL_PT_CLEAN,
+    "sentence_chunks": SQL_SENTENCE_CHUNKS,
+    "token_stats": SQL_TOKEN_STATS,
+    "summary_stats": SQL_SUMMARY_STATS,
+    "page_number_filter": SQL_PAGE_NUMBER_FILTER,
+    "heading_detect": SQL_HEADING_DETECT,
+    "boilerplate_strip": SQL_BOILERPLATE_STRIP,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "filename_title": SQL_FILENAME_TITLE,
+    **_training_oracle_sql(),
+}

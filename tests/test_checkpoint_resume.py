@@ -1,0 +1,88 @@
+"""Checkpoint/lineage/resume tests: kill-and-resume yields exactly-once
+output; re-running a completed job is a no-op (SURVEY §7 step 4)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf2ocr_spark.operators.checkpoint import (
+    read_lineage,
+    read_spans,
+    run_checkpointed,
+    stable_part_id,
+    summary,
+)
+from pdf2ocr_spark.pipeline import load_docs_corpus, run_pipeline
+
+N_PARTS = 8
+
+
+@pytest.fixture()
+def outdir():
+    d = tempfile.mkdtemp(prefix="ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_docs_corpus(spark, sf_dir).cache()
+
+
+def canon(pdf):
+    return (
+        pdf.sort_values(["doc_id", "kind", "offset"])
+        .reset_index(drop=True)[["doc_id", "kind", "text", "media_ref", "offset"]]
+    )
+
+
+def test_full_run_writes_spans_and_lineage(spark, docs, outdir):
+    res = run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
+    assert res == {"partitions": N_PARTS, "skipped": 0, "processed": N_PARTS}
+
+    spans = read_spans(spark, outdir)
+    direct = run_pipeline(spark, "/root/testdata/sf0.001", num_partitions=4)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(canon(spans.toPandas()), canon(direct.toPandas()))
+
+    lin = read_lineage(spark, outdir).toPandas()
+    assert len(lin) == N_PARTS
+    assert (lin["status"] == "success").all()
+    assert lin["doc_count"].sum() == docs.count()
+    assert (lin["docs_per_sec"].dropna() > 0).all()
+
+    s = summary(spark, outdir).collect()[0]
+    assert s["partitions_succeeded"] == N_PARTS
+    assert s["doc_errors"] == 0
+
+
+def test_kill_resume_exactly_once(spark, docs, outdir):
+    # simulate a killed run: only partitions 0..2 got processed
+    part = stable_part_id(N_PARTS)
+    partial = docs.withColumn("pid", part).where(F.col("pid") < 3).drop("pid")
+    run_checkpointed(spark, partial, outdir, num_partitions=N_PARTS)
+    # the kernel only saw docs of partitions 0-2, so lineage has 3 rows
+    assert len(read_lineage(spark, outdir).toPandas()) == 3
+
+    # resume with the FULL corpus: must process only the remaining 5
+    res = run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
+    assert res["skipped"] == 3
+    assert res["processed"] == 5
+
+    spans = read_spans(spark, outdir).toPandas()
+    direct = run_pipeline(spark, "/root/testdata/sf0.001", num_partitions=4).toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(canon(spans), canon(direct))
+
+    # exactly-once: no duplicated (doc_id, kind, offset)
+    assert not spans.duplicated(["doc_id", "kind", "offset"]).any()
+
+
+def test_completed_job_is_noop(spark, docs, outdir):
+    run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
+    res = run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
+    assert res == {"partitions": N_PARTS, "skipped": N_PARTS, "processed": 0}
