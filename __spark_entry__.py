@@ -47,11 +47,24 @@ def _q_docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize -> §2.3 preprocess chain -> template decode, bounded to a
+    sample of docs/pages (CPU-heavy raster kernel; rows-only check —
+    self-validating via recovered_matches == page_count)."""
+    from pyspark.sql import functions as F
+
+    from pdf2ocr_spark.operators.ocr import ocr_recover_stats
+
+    docs = load_docs_corpus(spark, sf_dir).where(F.col("doc_id").cast("long") < 50)
+    return ocr_recover_stats(docs, max_pages_per_doc=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["extract_pipeline"] = _q_extract_pipeline
     out["docs_corpus"] = _q_docs_corpus
+    out["ocr_roundtrip"] = _q_ocr_roundtrip
     return out
 
 

@@ -1,0 +1,191 @@
+"""Page-bitmap preprocessing chain (SURVEY.md §2.3).
+
+Numpy-only reimplementation of the reference's ``preprocess_image``
+pipeline (/root/reference/pdf2ocr/ocr.py:77-186): grayscale, autocontrast,
+median filter, edge-preserving denoise, adaptive-equalization (CLAHE slot),
+sharpen, contrast boost, unsharp mask, and the two safety guards (std<10
+revert, whole-chain exception revert).
+
+The container has no PIL/scipy/skimage, so this module IS the engine's
+kernel implementation (not a shim): each step is a vectorized numpy op
+with pinned dtypes (uint8 in/out, float64 intermediate) for bit-stable
+determinism across partitionings. Where the reference falls back on
+ImportError (ocr.py:116-119, :136-139, :162-168) we implement the fallback
+semantics directly: global histogram equalization stands in for CLAHE, as
+in the reference's autocontrast-cutoff fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """RGB->luma (ITU-R 601, the PIL 'L' weights) or passthrough if 2-D."""
+    if img.ndim == 2:
+        return img.astype(np.uint8, copy=False)
+    w = np.array([0.299, 0.587, 0.114])
+    return np.clip(img.astype(np.float64) @ w, 0, 255).astype(np.uint8)
+
+
+def autocontrast(img: np.ndarray, cutoff: int = 0) -> np.ndarray:
+    """Histogram stretch to full range, optionally ignoring ``cutoff``% of
+    the lightest/darkest pixels (PIL.ImageOps.autocontrast semantics)."""
+    h = np.bincount(img.ravel(), minlength=256)
+    n = img.size
+    if cutoff:
+        cut = n * cutoff // 100
+        csum = np.cumsum(h)
+        lo = int(np.searchsorted(csum, cut, side="right"))
+        hi = int(np.searchsorted(csum, n - cut, side="left"))
+    else:
+        nz = np.nonzero(h)[0]
+        if len(nz) == 0:
+            return img
+        lo, hi = int(nz[0]), int(nz[-1])
+    if hi <= lo:
+        return img
+    scale = 255.0 / (hi - lo)
+    lut = np.clip((np.arange(256) - lo) * scale, 0, 255).astype(np.uint8)
+    return lut[img]
+
+
+def median3(img: np.ndarray) -> np.ndarray:
+    """3x3 median filter, edge-replicated (PIL MedianFilter semantics)."""
+    p = np.pad(img, 1, mode="edge")
+    stack = np.stack(
+        [p[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+         for dy in range(3) for dx in range(3)]
+    )
+    return np.median(stack, axis=0).astype(np.uint8)
+
+
+def _gauss_kernel(sigma: float) -> np.ndarray:
+    radius = max(1, int(3 * sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(x**2) / (2 * sigma * sigma))
+    return k / k.sum()
+
+
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable gaussian, float64, edge-replicated."""
+    k = _gauss_kernel(sigma)
+    r = len(k) // 2
+    f = img.astype(np.float64)
+    p = np.pad(f, ((0, 0), (r, r)), mode="edge")
+    f = np.apply_along_axis(lambda row: np.convolve(row, k, mode="valid"), 1, p)
+    p = np.pad(f, ((r, r), (0, 0)), mode="edge")
+    f = np.apply_along_axis(lambda col: np.convolve(col, k, mode="valid"), 0, p)
+    return f
+
+
+def sobel_magnitude(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.float64)
+    p = np.pad(f, 1, mode="edge")
+    gx = (
+        p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
+        - p[:-2, :-2] - 2 * p[1:-1, :-2] - p[2:, :-2]
+    )
+    gy = (
+        p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
+        - p[:-2, :-2] - 2 * p[:-2, 1:-1] - p[:-2, 2:]
+    )
+    return np.hypot(gx, gy)
+
+
+def edge_preserving_denoise(img: np.ndarray) -> np.ndarray:
+    """Reference ocr.py:104-115: gaussian sigma=0.5 everywhere, but keep
+    the original pixel where |sobel| exceeds its 80th percentile; elsewhere
+    blend 0.7*blur + 0.3*original."""
+    blur = gaussian_blur(img, 0.5)
+    edges = sobel_magnitude(img)
+    thresh = np.percentile(edges, 80)
+    orig = img.astype(np.float64)
+    blended = 0.7 * blur + 0.3 * orig
+    out = np.where(edges > thresh, orig, blended)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def equalize(img: np.ndarray) -> np.ndarray:
+    """Global histogram equalization — the engine's stand-in for the CLAHE
+    slot (reference fallback semantics, ocr.py:136-139)."""
+    h = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    cdf = np.cumsum(h)
+    nz = cdf[cdf > 0]
+    if len(nz) == 0:
+        return img
+    cdf_min = nz[0]
+    denom = cdf[-1] - cdf_min
+    if denom <= 0:
+        return img
+    lut = np.clip(np.round((cdf - cdf_min) / denom * 255), 0, 255).astype(np.uint8)
+    return lut[img]
+
+
+def sharpen(img: np.ndarray, factor: float) -> np.ndarray:
+    """PIL ImageEnhance.Sharpness-style: blend toward a 3x3 smoothed copy
+    (factor>1 sharpens). Reference uses 1.2 (ocr.py:143-145)."""
+    p = np.pad(img.astype(np.float64), 1, mode="edge")
+    smooth = sum(
+        p[dy : dy + img.shape[0], dx : dx + img.shape[1]]
+        for dy in range(3) for dx in range(3)
+    ) / 9.0
+    out = smooth + (img.astype(np.float64) - smooth) * factor
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def contrast(img: np.ndarray, factor: float) -> np.ndarray:
+    """PIL ImageEnhance.Contrast-style: blend from the mean-gray image.
+    Reference uses 1.1 (ocr.py:147-149)."""
+    mean = round(img.astype(np.float64).mean())
+    out = mean + (img.astype(np.float64) - mean) * factor
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def unsharp_mask(img: np.ndarray, sigma: float = 1.0, amount: float = 0.2) -> np.ndarray:
+    """Reference ocr.py:153-161: img + amount*(img - gaussian(sigma))."""
+    blur = gaussian_blur(img, sigma)
+    out = img.astype(np.float64) + amount * (img.astype(np.float64) - blur)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Otsu's between-class-variance-maximizing threshold (the standard
+    OCR binarization step; deterministic argmax with lowest-index ties)."""
+    h = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = h.sum()
+    if total == 0:
+        return 128
+    omega = np.cumsum(h) / total
+    mu = np.cumsum(h * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    denom[denom == 0] = np.nan
+    sigma_b = (mu_t * omega - mu) ** 2 / denom
+    return int(np.nanargmax(sigma_b))
+
+
+def preprocess_page(img: np.ndarray) -> np.ndarray:
+    """The full chain with both reference guards: revert to the (grayscale)
+    original if the result collapses (std < 10, ocr.py:170-174) or if any
+    step raises (ocr.py:176-184)."""
+    gray = to_grayscale(img)
+    try:
+        out = autocontrast(gray)
+        out = median3(out)
+        out = edge_preserving_denoise(out)
+        # CLAHE slot: the container has no skimage, so the chain uses the
+        # reference's own ImportError fallback — autocontrast(cutoff=1)
+        # (ocr.py:136-139). Full-histogram equalize() stays available as a
+        # standalone op but is NOT in the chain: global equalization of a
+        # mostly-paper page amplifies paper noise to full range and
+        # destroys the ink/paper separation every binarizer depends on.
+        out = autocontrast(out, cutoff=1)
+        out = sharpen(out, 1.2)
+        out = contrast(out, 1.1)
+        out = unsharp_mask(out, 1.0, 0.2)
+        if float(np.std(out.astype(np.float64))) < 10.0:
+            return gray
+        return out
+    except Exception:
+        return gray

@@ -1,0 +1,61 @@
+"""docs -> OCR-recovered docs: the rasterize+preprocess+decode stage.
+
+The Spark analogue of the reference's render->preprocess->Tesseract page
+loop (/root/reference/pdf2ocr/ocr.py:268-326), as one Arrow-batched
+``mapInPandas`` stage: for every ``kind='page'`` span, the kernel renders
+the text to a synthetic scan bitmap, runs the full §2.3 preprocess chain,
+and decodes the text back (kernel/rasterocr.py). Deterministic and
+self-validating: ``recovered_matches``/``page_count`` reports exactness.
+
+This stage is CPU-heavy by design (it is the raster workload); it is a
+separate operator rather than part of the default text pipeline, mirroring
+the reference where OCR happens once at ingest.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+OCR_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("page_count", T.LongType()),
+        T.StructField("recovered_matches", T.LongType()),
+        T.StructField("recovered_chars", T.LongType()),
+    ]
+)
+
+
+def ocr_recover_stats(docs: DataFrame, max_pages_per_doc: int = 4) -> DataFrame:
+    """Run the OCR round trip over (a bounded number of) pages per doc and
+    report per-doc recovery stats. Bounding keeps the demo query cheap;
+    the kernel itself has no such limit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf2ocr_spark.kernel.rasterocr import ocr_roundtrip
+
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                pages = [
+                    s.get("text") or ""
+                    for s in sorted(spans, key=lambda s: s["offset"])
+                    if s.get("kind") == "page"
+                ][:max_pages_per_doc]
+                matches = chars = 0
+                for p in pages:
+                    rec = ocr_roundtrip(p)
+                    chars += len(p)
+                    if rec == p:
+                        matches += 1
+                rows.append((doc_id, len(pages), matches, chars))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "page_count", "recovered_matches", "recovered_chars"],
+            )
+
+    return docs.select("doc_id", "spans").mapInPandas(run, schema=OCR_STATS_SCHEMA)

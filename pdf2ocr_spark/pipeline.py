@@ -30,8 +30,9 @@ def tile_documents(documents: DataFrame, factor: int) -> DataFrame:
     if factor <= 1:
         return documents
     return documents.select(
-        (F.col("doc_id") * factor + F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
-        .alias("doc_id"),
+        "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    ).select(
+        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
         "text",
         "lang",
         "source",
