@@ -16,6 +16,12 @@ Kinds:
     html        one row per ``<p>…</p>`` element, per page (html.py:10-135)
     markdown    one row per markdown block (headings -> '#', lists kept) —
                 engine extension; the reference has no markdown sink
+    layout_text layout-preserving mode (the reference's --preserve-layout
+                path, pdf.py:140-368): one row per page with the RAW page
+                text verbatim — no charset clean, no boilerplate strip, no
+                paragraph reflow (the reference's layout mode feeds pages
+                straight to 'tesseract ... pdf' with no text post-
+                processing; config.py:114-136 forces it exclusive)
     page_header one row per non-empty page: 'pdf2ocr - Page N' (1-based,
                 empty pages skipped — pdf.py:82-93, html.py:113-121)
     media_ref   interleaved media spans passed through in original order
@@ -107,6 +113,21 @@ def extract_document(
     output span rows. Deterministic; independent of partitioning.
     """
     pages, media = _page_texts_in_order(spans)
+    return extract_from_pages(doc_id, pages, media, formats, lang, max_sentences)
+
+
+def extract_from_pages(
+    doc_id: str,
+    pages: List[str],
+    media: List[str],
+    formats: Sequence[str] = ALL_FORMATS,
+    lang: str = "eng",
+    max_sentences: Optional[int] = None,
+) -> List[SpanRow]:
+    """Core per-document dataflow over already-ordered pages + media refs
+    (the columnar fast path feeds this directly without building span
+    dicts)."""
+    raw_pages = list(pages)  # layout mode sees pages verbatim
 
     # OCR-language post-clean (ocr.py:261-263: applied per page, Portuguese only)
     if lang.lower() == "por":
@@ -152,6 +173,12 @@ def extract_document(
         if "markdown" in want:
             for block in markdown_blocks(doc_paragraphs):
                 emit("markdown", block)
+
+    # --- layout-preserving mode: raw pages, one span each, no cleanup
+    if "layout_text" in want:
+        for page_text in raw_pages:
+            if page_text.strip():
+                emit("layout_text", page_text)
 
     # --- media passthrough, original relative order
     for ref in media:

@@ -74,3 +74,99 @@ def extract_spans(
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select("doc_id", "spans").mapInPandas(run, schema=SPANS_OUT_SCHEMA)
+
+
+def extract_spans_arrow(
+    docs: DataFrame,
+    formats: Sequence[str] = ALL_FORMATS,
+    lang: str = "eng",
+    max_sentences: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Columnar fast path over the nested docs relation via ``mapInArrow``.
+
+    ``mapInPandas`` materializes every ``array<struct>`` cell as a Python
+    list of dicts — for span-heavy documents that conversion dominates the
+    stage (measured ~4-5x over the raw kernel). Here the kernel reads the
+    Arrow ListArray/StructArray directly: one ``offsets`` vector + four
+    flat child arrays per batch, zero per-span dict objects.
+    """
+    import pyarrow as pa
+
+    if num_partitions:
+        docs = skew_balanced(docs, num_partitions)
+
+    fmts = tuple(formats)
+
+    def run(batches):
+        from pdf2ocr_spark.kernel.emit import extract_from_pages
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            spans = batch.column("spans")
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            offsets = spans.offsets.to_numpy(zero_copy_only=False)
+            flat = spans.flatten()
+            kinds = flat.field("kind").to_pylist()
+            texts = flat.field("text").to_pylist()
+            refs = flat.field("media_ref").to_pylist()
+            offs = flat.field("offset").to_numpy(zero_copy_only=False)
+
+            out_doc, out_kind, out_text, out_ref, out_off = [], [], [], [], []
+            for i, doc_id in enumerate(doc_ids):
+                lo, hi = int(offsets[i]), int(offsets[i + 1])
+                order = sorted(range(lo, hi), key=lambda j: offs[j])
+                pages = [texts[j] or "" for j in order if kinds[j] == "page"]
+                media = [refs[j] for j in order if kinds[j] == "media" and refs[j]]
+                for r in extract_from_pages(
+                    doc_id, pages, media, fmts, lang, max_sentences
+                ):
+                    out_doc.append(r[0])
+                    out_kind.append(r[1])
+                    out_text.append(r[2])
+                    out_ref.append(r[3])
+                    out_off.append(r[4])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_doc, pa.string()),
+                    pa.array(out_kind, pa.string()),
+                    pa.array(out_text, pa.string()),
+                    pa.array(out_ref, pa.string()),
+                    pa.array(out_off, pa.int32()),
+                ],
+                names=["doc_id", "kind", "text", "media_ref", "offset"],
+            )
+
+    return docs.select("doc_id", "spans").mapInArrow(run, schema=SPANS_OUT_SCHEMA)
+
+
+def documents_to_spans(
+    documents: DataFrame,
+    formats: Sequence[str] = ALL_FORMATS,
+    lang: str = "eng",
+    max_sentences: Optional[int] = None,
+) -> DataFrame:
+    """FUSED ingest path: (doc_id, text, source) -> spans_out in ONE Python
+    pass per batch (docgen channel + extraction kernel back to back, no
+    intermediate nested Arrow round trip, no second worker chain)."""
+    fmts = tuple(formats)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf2ocr_spark.kernel.docgen import build_spans
+        from pdf2ocr_spark.kernel.emit import extract_document
+
+        cols = ["doc_id", "kind", "text", "media_ref", "offset"]
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                did = str(doc_id)
+                spans = build_spans(did, text, source)
+                rows.extend(extract_document(did, spans, fmts, lang, max_sentences))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents.select("doc_id", "text", "source").mapInPandas(
+        run, schema=SPANS_OUT_SCHEMA
+    )

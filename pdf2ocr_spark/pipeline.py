@@ -98,14 +98,21 @@ def run_pipeline(
     Physical plan: parquet scan -> ONE small-row shuffle (weight-striped)
     -> fused docgen+extract mapInPandas stages (no nested-data shuffle).
     """
+    from pdf2ocr_spark.operators.extract import documents_to_spans
+
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
-    documents = tile_documents(load_documents(spark, sf_dir), tile)
-    docs = documents_to_docs(stripe_documents(documents, num_partitions))
-    return extract_spans(
-        docs,
-        formats=formats,
-        lang=lang,
-        max_sentences=max_sentences,
-        num_partitions=None,  # already balanced pre-expansion
+    documents = load_documents(spark, sf_dir)
+    # a single small parquet file arrives as ONE input split; everything
+    # downstream of the scan (tile explode + the map side of the stripe
+    # shuffle) would run in one task — a serial fraction that destroys
+    # scaling. Fan the small relation out first (tiny shuffle), THEN
+    # expand: each subsequent stage is fully parallel.
+    documents = documents.repartition(num_partitions)
+    striped = stripe_documents(tile_documents(documents, tile), num_partitions)
+    # fused channel+extract: one Python worker pass, no nested-Arrow
+    # intermediate (the docs relation is still available separately via
+    # load_docs_corpus for operators that consume it)
+    return documents_to_spans(
+        striped, formats=formats, lang=lang, max_sentences=max_sentences
     )

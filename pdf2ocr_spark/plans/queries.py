@@ -57,21 +57,28 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 def _body_lines(docs: DataFrame) -> DataFrame:
-    t = _tokens(docs).select(
-        "doc_id",
-        (F.col("pos0") / PAGE_WORDS).cast("long").alias("page_id"),
-        ((F.col("pos0") % PAGE_WORDS) / LINE_WORDS).cast("long").alias("line_no"),
-        "pos0",
-        "word",
+    """Derive the line relation with a NARROW plan: lines are built per-row
+    with transform(sequence(...)) + slice and then exploded — no
+    explode->groupBy shuffle (the first version shuffled every token; this
+    one shuffles nothing and the whole derivation fuses into the scan
+    stage under whole-stage codegen)."""
+    toks = F.split("text", " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_WORDS)).cast("long")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.struct(
+            F.floor(i * LINE_WORDS / PAGE_WORDS).cast("long").alias("page_id"),
+            ((i * LINE_WORDS) % PAGE_WORDS / LINE_WORDS)
+            .cast("long")
+            .alias("line_no"),
+            F.array_join(
+                F.slice(toks, (i * LINE_WORDS + 1).cast("int"), LINE_WORDS), " "
+            ).alias("line_text"),
+        ),
     )
-    return t.groupBy("doc_id", "page_id", "line_no").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos0", "word"))),
-                lambda s: s["word"],
-            ),
-            " ",
-        ).alias("line_text")
+    return (
+        docs.select("doc_id", F.explode(lines_arr).alias("ln"))
+        .select("doc_id", "ln.page_id", "ln.line_no", "ln.line_text")
     )
 
 
@@ -504,6 +511,55 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_documents(spark, sf_dir))
 
 
+# reference epub.py:11-27 Tesseract->Calibre language map (the EPUB sink's
+# only observable computation besides the Calibre subprocess); our corpus
+# stores Calibre-style codes, so the query derives the OCR (Tesseract)
+# code by reverse lookup (first match in reference dict order) and maps it
+# forward again — epub.py:86 defaults unknown codes to English.
+TESS_TO_CALIBRE = [
+    ("por", "pt"), ("eng", "en"), ("spa", "es"), ("fra", "fr"), ("deu", "de"),
+    ("ita", "it"), ("nld", "nl"), ("rus", "ru"), ("tur", "tr"), ("jpn", "ja"),
+    ("chi_sim", "zh"), ("heb", "he"),
+]
+
+
+def q_epub_lang_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    rev = None
+    for tess, cal in TESS_TO_CALIBRE:
+        branch = F.when(F.col("lang") == cal, F.lit(tess))
+        rev = branch if rev is None else rev.when(F.col("lang") == cal, F.lit(tess))
+    tess_lang = rev.otherwise(F.lit("eng"))
+    fwd = None
+    for tess, cal in TESS_TO_CALIBRE:
+        fwd = (
+            F.when(tess_lang == tess, F.lit(cal))
+            if fwd is None
+            else fwd.when(tess_lang == tess, F.lit(cal))
+        )
+    return docs.select(
+        "doc_id",
+        "lang",
+        tess_lang.alias("tesseract_lang"),
+        fwd.otherwise(F.lit("en")).alias("calibre_lang"),
+    )
+
+
+def _epub_sql() -> str:
+    rev = "CASE " + " ".join(
+        f"WHEN lang = '{cal}' THEN '{tess}'" for tess, cal in TESS_TO_CALIBRE
+    ) + " ELSE 'eng' END"
+    fwd = "CASE " + " ".join(
+        f"WHEN ({rev}) = '{tess}' THEN '{cal}'" for tess, cal in TESS_TO_CALIBRE
+    ) + " ELSE 'en' END"
+    return f"""
+SELECT doc_id, lang,
+       {rev} AS tesseract_lang,
+       {fwd} AS calibre_lang
+FROM documents
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -524,6 +580,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
+    "epub_lang_map": q_epub_lang_map,
 }
 
 
@@ -566,5 +623,6 @@ ORACLE_SQL: Dict[str, str] = {
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dedup_exact": SQL_DEDUP_EXACT,
     "filename_title": SQL_FILENAME_TITLE,
+    "epub_lang_map": _epub_sql(),
     **_training_oracle_sql(),
 }

@@ -56,6 +56,22 @@ def test_partitioning_invariance(spark, sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_arrow_path_matches_pandas_path(spark, docs_df):
+    """extract_spans (mapInPandas) and extract_spans_arrow (mapInArrow
+    columnar fast path) must emit identical span sets."""
+    from pdf2ocr_spark.operators.extract import extract_spans, extract_spans_arrow
+
+    key = ["doc_id", "kind", "offset"]
+    a = extract_spans(docs_df).toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        extract_spans_arrow(docs_df)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_parity_vs_pure_kernel(spark, sf_dir, docs_df):
     """Spark pipeline output == single-process kernel run, span-for-span."""
     spark_out = (
