@@ -65,7 +65,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_pipeline"] = _q_extract_pipeline
     out["docs_corpus"] = _q_docs_corpus
     out["ocr_roundtrip"] = _q_ocr_roundtrip
+    out["media_features"] = _q_media_features
     return out
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal stage: media spans -> typed binary relation -> stubbed
+    decode/feature-extract (deterministic fake decoder; rows-only check —
+    payload synthesis is the Python channel, not SQL-derivable)."""
+    from pyspark.sql import functions as F
+
+    from pdf2ocr_spark.operators.media import decode_media, media_table
+
+    docs = load_docs_corpus(spark, sf_dir).where(F.col("doc_id").cast("long") < 200)
+    return decode_media(media_table(docs), fake=True)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -30,9 +30,26 @@ def main() -> None:
     ap.add_argument("--tile", type=int, default=1)
     ap.add_argument("--formats", default="text,docx_para,html,markdown")
     ap.add_argument("--lang", default="eng")
+    ap.add_argument("--preserve-layout", action="store_true")
+    ap.add_argument("--epub", action="store_true")
+    ap.add_argument("--dpi", type=int, default=400)
     ap.add_argument("--max-sentences", type=int, default=0)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
+
+    # validate job args driver-side before any Spark action (SURVEY §2.8;
+    # ref config.py:93-152)
+    from pdf2ocr_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(
+        formats=tuple(f for f in args.formats.split(",") if f),
+        lang=args.lang,
+        preserve_layout=args.preserve_layout,
+        epub=args.epub,
+        dpi=args.dpi,
+        num_partitions=args.partitions,
+        max_sentences=args.max_sentences,
+    )
 
     from pyspark.sql import SparkSession
 
@@ -54,9 +71,9 @@ def main() -> None:
         docs,
         args.output,
         num_partitions=args.partitions,
-        formats=tuple(args.formats.split(",")),
-        lang=args.lang,
-        max_sentences=args.max_sentences or None,
+        formats=cfg.effective_formats,
+        lang=cfg.lang,
+        max_sentences=cfg.max_sentences,
         resume=not args.no_resume,
     )
     wall = time.perf_counter() - t0

@@ -1,0 +1,73 @@
+"""Job configuration + validation.
+
+Mirrors the reference's ``ProcessingConfig`` contract
+(/root/reference/pdf2ocr/config.py:16-152 and main.py:158-175):
+
+- at least one output format must be requested            (config.py:96-112)
+- layout-preserving mode is exclusive: it disables every reflowed format
+  and forces layout output                                 (config.py:114-136)
+- epub implies docx (the reference converts DOCX->EPUB)    (config.py:137-146)
+- dpi in [72, 1200], workers >= 1, batch_size >= 1 or None,
+  max_sentences 0 -> None                                  (main.py:158-175)
+
+Validation runs driver-side before any Spark action (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from pdf2ocr_spark.kernel.emit import ALL_FORMATS
+
+VALID_FORMATS = set(ALL_FORMATS) | {"layout_text"}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class ExtractConfig:
+    formats: Tuple[str, ...] = ALL_FORMATS
+    lang: str = "eng"
+    preserve_layout: bool = False
+    epub: bool = False
+    dpi: int = 400
+    num_partitions: Optional[int] = None
+    batch_size: Optional[int] = None
+    max_sentences: Optional[int] = None
+    effective_formats: Tuple[str, ...] = field(init=False)
+
+    def __post_init__(self) -> None:
+        fmts = tuple(self.formats)
+        unknown = set(fmts) - VALID_FORMATS
+        if unknown:
+            raise ConfigError(f"unknown formats: {sorted(unknown)}")
+
+        if self.preserve_layout:
+            # layout mode is exclusive and forces layout output
+            # (ref config.py:114-136: other formats disabled, PDF forced)
+            fmts = ("layout_text",)
+        else:
+            if self.epub and "docx_para" not in fmts:
+                # epub requires docx (ref config.py:137-146)
+                fmts = fmts + ("docx_para",)
+            if not fmts:
+                raise ConfigError(
+                    "at least one output format is required (ref config.py:96-112)"
+                )
+
+        if not 72 <= self.dpi <= 1200:
+            raise ConfigError("dpi must be within [72, 1200] (ref main.py:166-168)")
+        if self.num_partitions is not None and self.num_partitions < 1:
+            raise ConfigError("num_partitions must be >= 1 (ref main.py:158-160)")
+        if self.batch_size is not None and self.batch_size < 1:
+            raise ConfigError("batch_size must be >= 1 (ref main.py:161-165)")
+        if self.max_sentences is not None and self.max_sentences < 0:
+            raise ConfigError("max_sentences must be >= 0 (ref main.py:169-175)")
+        # CLI maps 0 -> None = "no split" (ref main.py:174-175)
+        if self.max_sentences == 0:
+            object.__setattr__(self, "max_sentences", None)
+
+        object.__setattr__(self, "effective_formats", fmts)

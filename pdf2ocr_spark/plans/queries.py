@@ -283,6 +283,50 @@ GROUP BY doc_id
 )
 
 
+def q_line_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-header + list-item predicates over lines (ref common.py:9,73
+    and common.py:80-84): the channel turns line 1 of each page into a
+    'pdf2ocr - Page N' self-header and line 2 into a bullet item, then the
+    predicates count them back."""
+    lines = _all_lines(_documents(spark, sf_dir))
+    decorated = F.when(
+        F.col("line_no") == 1,
+        F.concat(F.lit("pdf2ocr - Page "), (F.col("page_id") + 1).cast("string")),
+    ).when(
+        F.col("line_no") == 2, F.concat(F.lit("• "), F.col("line_text"))
+    ).otherwise(F.col("line_text"))
+    is_self_header = decorated.rlike("^pdf2ocr\\s*-\\s*Page\\s*\\d+$")
+    is_list_item = decorated.rlike("^[•\\-–—▪]") | decorated.rlike("^[0-9][.)].")
+    return lines.groupBy("doc_id").agg(
+        F.sum(is_self_header.cast("long")).alias("n_self_header_lines"),
+        F.sum(is_list_item.cast("long")).alias("n_list_item_lines"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+SQL_LINE_PREDICATES = (
+    _SQL_LINES_CTE
+    + r"""
+, decorated AS (
+    SELECT doc_id,
+           CASE WHEN line_no = 1 THEN 'pdf2ocr - Page ' || CAST(page_id + 1 AS VARCHAR)
+                WHEN line_no = 2 THEN '• ' || line_text
+                ELSE line_text END AS line_d
+    FROM all_lines
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN regexp_matches(line_d, '^pdf2ocr\s*-\s*Page\s*\d+$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_self_header_lines,
+       CAST(sum(CASE WHEN regexp_matches(line_d, '^[•\-–—▪]')
+                       OR regexp_matches(line_d, '^[0-9][.)].')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_list_item_lines,
+       count(*) AS n_lines
+FROM decorated
+GROUP BY doc_id
+"""
+)
+
+
 def q_heading_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heading predicate over lines (ref common.py:10-13,76-78): lines with
     line_no 0 are upper-cased by the channel, then detected ALL-CAPS."""
@@ -567,6 +611,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "summary_stats": q_summary_stats,
     "page_number_filter": q_page_number_filter,
+    "line_predicates": q_line_predicates,
     "heading_detect": q_heading_detect,
     "boilerplate_strip": q_boilerplate_strip,
     "dedup_exact": q_dedup_exact,
@@ -619,6 +664,7 @@ ORACLE_SQL: Dict[str, str] = {
     "token_stats": SQL_TOKEN_STATS,
     "summary_stats": SQL_SUMMARY_STATS,
     "page_number_filter": SQL_PAGE_NUMBER_FILTER,
+    "line_predicates": SQL_LINE_PREDICATES,
     "heading_detect": SQL_HEADING_DETECT,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "dedup_exact": SQL_DEDUP_EXACT,

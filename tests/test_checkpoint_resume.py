@@ -82,6 +82,34 @@ def test_kill_resume_exactly_once(spark, docs, outdir):
     assert not spans.duplicated(["doc_id", "kind", "offset"]).any()
 
 
+def test_per_doc_error_isolation(spark, docs, outdir):
+    """A document that crashes the kernel is recorded in lineage errors;
+    the job completes and every healthy doc is extracted (ref behavior:
+    per-file try/except, converters/pdf.py:743-746)."""
+    from pdf2ocr_spark.schema import DOCS_SCHEMA
+
+    poison = spark.createDataFrame(
+        [("poison-doc", [
+            {"kind": "page", "text": "ok.", "media_ref": None, "offset": None},
+            {"kind": "page", "text": "boom.", "media_ref": None, "offset": 1},
+        ])],
+        schema=DOCS_SCHEMA,
+    )
+    mixed = docs.limit(50).unionByName(poison)
+    run_checkpointed(spark, mixed, outdir, num_partitions=4)
+
+    lin = read_lineage(spark, outdir).toPandas()
+    all_errors = [e for errs in lin["errors"] for e in errs]
+    assert len(all_errors) == 1
+    assert all_errors[0].startswith("poison-doc:")
+    assert (lin["status"] == "success").all()
+    assert lin["doc_count"].sum() == 51
+
+    spans = read_spans(spark, outdir).toPandas()
+    assert "poison-doc" not in set(spans["doc_id"])
+    assert spans["doc_id"].nunique() >= 45  # healthy docs extracted
+
+
 def test_completed_job_is_noop(spark, docs, outdir):
     run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
     res = run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
