@@ -1,0 +1,72 @@
+"""Catalog abstraction round trip + full driver-contract smoke: every
+registered query (including rows-only ones) runs at sf0.001 with a stable
+schema across invocations."""
+
+import shutil
+import tempfile
+
+import pytest
+
+import __spark_entry__ as entrymod
+from pdf2ocr_spark.sources.catalog import Catalog
+
+
+@pytest.fixture()
+def cat(spark):
+    root = tempfile.mkdtemp(prefix="cat_")
+    yield Catalog(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_catalog_parquet_roundtrip(spark, cat):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        "id", (F.col("id") % 4).cast("int").alias("part")
+    )
+    assert not cat.table_exists("t1")
+    cat.write_table(df, "t1", partition_by="part")
+    assert cat.table_exists("t1")
+    back = cat.read_table("t1")
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "part"}
+    assert cat.use_iceberg is False  # sandbox has no Iceberg jars
+
+
+def test_catalog_partition_overwrite_idempotent(spark, cat):
+    from pyspark.sql import functions as F
+
+    df = spark.range(40).select("id", (F.col("id") % 4).cast("int").alias("part"))
+    cat.write_table(df, "t2", partition_by="part")
+    # overwrite only partition 0 with new content
+    p0 = spark.range(5).select(
+        (F.col("id") + 1000).alias("id"), F.lit(0).cast("int").alias("part")
+    )
+    cat.write_table(p0, "t2", partition_by="part", overwrite_partitions=True)
+    back = cat.read_table("t2").toPandas()
+    assert len(back[back["part"] == 0]) == 5
+    assert len(back[back["part"] != 0]) == 30
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_every_query_runs_with_stable_schema(spark, sf_dir, name):
+    fn = entrymod.queries()[name]
+    a = fn(spark, sf_dir)
+    b = fn(spark, sf_dir)
+    assert a.schema == b.schema
+    assert a.limit(5).count() >= 0
+
+
+def test_oracle_keys_subset_of_queries():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q
+    # the non-SQL-expressible ops are intentionally rows-only
+    assert {"extract_pipeline", "docs_corpus", "ocr_roundtrip", "media_features"} <= (
+        q - o
+    )
