@@ -41,6 +41,14 @@ def lang_scores(text: Column) -> dict:
     }
 
 
+def bp(col: Column) -> Column:
+    """Deterministic 4-decimal fixed-point: floor(x*10000 + 0.5) as BIGINT.
+    Used instead of round(x, 4) in oracle-checked outputs — round()'s
+    tie-breaking differs between engines (HALF_UP vs banker's) on values
+    like 0.31575, while floor(+0.5) on the identical double is exact."""
+    return F.floor(col * 10000 + F.lit(0.5)).cast("long")
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-ratio language ID with alphabetical tie-break (the CASE
     ladder evaluates langs in sorted order, mirroring the oracle SQL)."""
@@ -48,7 +56,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
     out = documents.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
-        *[F.round(scores[lang], 4).alias(f"score_{lang}") for lang in LANGS],
+        *[bp(scores[lang]).alias(f"score_{lang}") for lang in LANGS],
     )
     # rebuild the CASE ladder on the rounded scores so both engines branch
     # on identical values
@@ -76,15 +84,13 @@ def quality_score(documents: DataFrame) -> DataFrame:
     len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
     stop_ratio = _stop_hits(text, STOPWORDS["en"]) / n
     diversity = F.size(F.array_distinct(toks)) / n
-    score = F.round(
-        F.lit(0.4) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * diversity, 4
-    )
+    score = F.lit(0.4) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * diversity
     return documents.select(
         "doc_id",
-        F.round(len_score, 4).alias("len_score"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(diversity, 4).alias("diversity"),
-        score.alias("quality"),
+        bp(len_score).alias("len_score_bp"),
+        bp(stop_ratio).alias("stop_ratio_bp"),
+        bp(diversity).alias("diversity_bp"),
+        bp(score).alias("quality_bp"),
     )
 
 

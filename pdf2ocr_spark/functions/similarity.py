@@ -74,7 +74,8 @@ def cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
-            F.round("score", 4).alias("score"),
+            # fixed-point score: round() differs by 1 ulp across engines
+            F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_bp"),
         )
     )
 
@@ -145,6 +146,6 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
-            F.round("score", 4).alias("score"),
+            F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_bp"),
         )
     )

@@ -43,7 +43,7 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       round(score, 4) AS score
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -90,7 +90,7 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       round(score, 4) AS score
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -102,8 +102,15 @@ def _hits(words: tuple) -> str:
     )
 
 
+# deterministic 4-decimal fixed point (floor(x*10000+0.5)); see
+# functions/quality.py:bp — round()'s tie-breaking differs across engines
+def _bp(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT)"
+
+
 _SCORE_COLS = ",\n       ".join(
-    f"round({_hits(STOPWORDS[lang])} / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS score_{lang}"
+    _bp(f"{_hits(STOPWORDS[lang])} / CAST(len(string_split(text, ' ')) AS DOUBLE)")
+    + f" AS score_{lang}"
     for lang in LANGS
 )
 
@@ -127,12 +134,12 @@ SELECT *, {_CASE} AS lang_pred FROM scored
 
 SQL_QUALITY_SCORE = f"""
 SELECT doc_id,
-       round(least(1.0, n_chars / 500.0), 4) AS len_score,
-       round({_hits(STOPWORDS['en'])} / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
-       round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS diversity,
-       round(0.4 * least(1.0, n_chars / 500.0)
-           + 0.3 * ({_hits(STOPWORDS['en'])} / CAST(len(string_split(text, ' ')) AS DOUBLE))
-           + 0.3 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS quality
+       {_bp('least(1.0, n_chars / 500.0)')} AS len_score_bp,
+       {_bp(_hits(STOPWORDS['en']) + " / CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS stop_ratio_bp,
+       {_bp("len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS diversity_bp,
+       {_bp("0.4 * least(1.0, n_chars / 500.0)"
+            + " + 0.3 * (" + _hits(STOPWORDS['en']) + " / CAST(len(string_split(text, ' ')) AS DOUBLE))"
+            + " + 0.3 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))")} AS quality_bp
 FROM documents
 """
 

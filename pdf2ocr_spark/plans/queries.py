@@ -241,9 +241,11 @@ FROM documents
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus summary aggregates (ref converters/pdf.py:1016-1032)."""
     docs = _documents(spark, sf_dir)
+    # fixed-point avg (floor(x*10000+0.5)): round() tie-breaking differs
+    # between engines — see functions/quality.py:bp
     return docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.floor(F.avg("n_chars") * 10000 + F.lit(0.5)).cast("long").alias("avg_chars_bp"),
         F.sum("n_chars").alias("total_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -252,7 +254,7 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SUMMARY_STATS = """
 SELECT source, lang,
        count(*) AS n_docs,
-       round(avg(n_chars), 4) AS avg_chars,
+       CAST(floor(avg(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars_bp,
        sum(n_chars) AS total_chars,
        max(n_chars) AS max_chars
 FROM documents
