@@ -66,7 +66,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["docs_corpus"] = _q_docs_corpus
     out["ocr_roundtrip"] = _q_ocr_roundtrip
     out["media_features"] = _q_media_features
+    out["extract_pipeline_paged"] = _q_extract_paged
     return out
+
+
+def _q_extract_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-document path: page-parallel extraction (posexplode ->
+    distributed boilerplate anti-join -> per-page pandas_udf -> per-doc
+    applyInPandas funnel). Span-for-span equal to extract_pipeline
+    (tests/test_exploded_path.py); rows-only check."""
+    from pdf2ocr_spark.operators.exploded import extract_spans_exploded
+
+    return extract_spans_exploded(load_docs_corpus(spark, sf_dir), num_partitions=16)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

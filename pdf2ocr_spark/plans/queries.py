@@ -606,6 +606,84 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# relational engine demos over the TPC-H-ish tables (scan->filter->agg and
+# join->agg->top-k through Catalyst; fixed-point money per quality.py:bp)
+# --------------------------------------------------------------------------
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = _table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("sum_base_cents"),
+        F.floor(F.sum(disc_price) * 100 + F.lit(0.5)).cast("long").alias("sum_disc_cents"),
+        F.floor(F.sum(charge) * 100 + F.lit(0.5)).cast("long").alias("sum_charge_cents"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_cents,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_cents,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) AS BIGINT) AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-20 orders by discounted revenue for one market
+    segment — broadcast dim join + agg + deterministic top-k."""
+    cust = _table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.floor(F.sum(rev) * 100 + F.lit(0.5)).cast("long").alias("revenue_cents"))
+    )
+    return (
+        joined.orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority,
+       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -628,6 +706,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "epub_lang_map": q_epub_lang_map,
+    "tpch_pricing_summary": q_pricing_summary,
+    "tpch_top_revenue": q_top_revenue_orders,
 }
 
 
@@ -672,5 +752,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "filename_title": SQL_FILENAME_TITLE,
     "epub_lang_map": _epub_sql(),
+    "tpch_pricing_summary": SQL_PRICING_SUMMARY,
+    "tpch_top_revenue": SQL_TOP_REVENUE,
     **_training_oracle_sql(),
 }
