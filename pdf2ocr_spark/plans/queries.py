@@ -684,6 +684,39 @@ LIMIT 20
 """
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (1-day
+    windows per event_type) — the batch formulation of the streaming
+    windowed agg in streaming/windows.py (same F.window expression)."""
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.sum("value") * 10000 + F.lit(0.5)).cast("long").alias("sum_value_bp"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_bp",
+            "n_users",
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS sum_value_bp,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -708,6 +741,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epub_lang_map": q_epub_lang_map,
     "tpch_pricing_summary": q_pricing_summary,
     "tpch_top_revenue": q_top_revenue_orders,
+    "events_windowed": q_events_windowed,
 }
 
 
@@ -754,5 +788,6 @@ ORACLE_SQL: Dict[str, str] = {
     "epub_lang_map": _epub_sql(),
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
     "tpch_top_revenue": SQL_TOP_REVENUE,
+    "events_windowed": SQL_EVENTS_WINDOWED,
     **_training_oracle_sql(),
 }
