@@ -54,12 +54,15 @@ def test_entry_smoke(spark):
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
-def test_every_query_runs_with_stable_schema(spark, sf_dir, name):
+def test_every_query_analyzes_with_stable_schema(spark, sf_dir, name):
+    """Analysis-only check (schema resolution is lazy and cheap): full
+    evaluation coverage lives in test_oracle_parity (SQL queries) and the
+    dedicated operator tests (rows-only queries)."""
     fn = entrymod.queries()[name]
     a = fn(spark, sf_dir)
     b = fn(spark, sf_dir)
     assert a.schema == b.schema
-    assert a.limit(5).count() >= 0
+    assert len(a.schema.fields) > 0
 
 
 def test_oracle_keys_subset_of_queries():

@@ -82,6 +82,19 @@ def test_kill_resume_exactly_once(spark, docs, outdir):
     assert not spans.duplicated(["doc_id", "kind", "offset"]).any()
 
 
+def test_weight_striping_balances_partitions(spark, docs, outdir):
+    """Skew evidence: despite Zipf page counts (40x heavy tail), the
+    weight-striped partitioning keeps per-partition page totals balanced
+    (no partition carries more than ~2.5x the mean) — the north-rule skew
+    criterion, measured from the lineage metrics themselves."""
+    run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
+    lin = read_lineage(spark, outdir).toPandas()
+    pages = lin["page_count"]
+    assert len(pages) == N_PARTS
+    assert pages.max() <= 2.5 * pages.mean()
+    assert pages.min() >= 0.3 * pages.mean()
+
+
 def test_per_doc_error_isolation(spark, docs, outdir):
     """A document that crashes the kernel is recorded in lineage errors;
     the job completes and every healthy doc is extracted (ref behavior:

@@ -25,8 +25,11 @@ def canon(pdf):
 
 
 def test_exploded_equals_fused(spark, docs_df):
-    a = canon(extract_spans(docs_df).toPandas())
-    b = canon(extract_spans_exploded(docs_df, num_partitions=8).toPandas())
+    # 150-doc slice keeps the suite fast; includes heavy (40x) docs by
+    # construction (heavy rate ~4% -> ~6 heavy docs in slice)
+    sample = docs_df.where(F.col("doc_id").cast("long") < 150)
+    a = canon(extract_spans(sample).toPandas())
+    b = canon(extract_spans_exploded(sample, num_partitions=8).toPandas())
     pd.testing.assert_frame_equal(a, b)
 
 
