@@ -99,8 +99,16 @@ def clean_portuguese_charset(text: str) -> str:
     return _RE_PT_DISALLOWED.sub("", text)
 
 
+#: first chars that can possibly start a RE_HEADING_SHAPE match
+#: (digit | Cap/CAPÍTULO | Introdu | Conclus | Refer, case-insensitive)
+_HEADING_FIRST = set("0123456789CcIiRr")
+
+
 def _looks_like_heading(line: str) -> bool:
-    return (line.isupper() and len(line) > 3) or bool(RE_HEADING_SHAPE.match(line))
+    if line.isupper() and len(line) > 3:
+        return True
+    # cheap first-char gate before the regex (hot path: every FSM line)
+    return line[0] in _HEADING_FIRST and bool(RE_HEADING_SHAPE.match(line))
 
 
 def _looks_like_list_item(line: str) -> bool:
@@ -148,7 +156,12 @@ def rebuild_paragraphs(text: str) -> str:
                 flush()
             continue
 
-        if RE_PAGE_NUMBER_LINE.match(line) or RE_SELF_HEADER_LINE.match(line):
+        # first-char gates: a stripped line matches the page-number regex
+        # only if it starts with a digit, the self-header only with p/P
+        c0 = line[0]
+        if (c0.isdigit() and RE_PAGE_NUMBER_LINE.match(line)) or (
+            c0 in "pP" and RE_SELF_HEADER_LINE.match(line)
+        ):
             continue
 
         if _looks_like_heading(line):
