@@ -81,7 +81,13 @@ def test_reassemble_paragraphs_clean(t):
     for p in paras:
         assert p == p.strip()
         assert "\n" not in p
-        assert "  " not in p  # whitespace collapsed
+        # NOTE: internal runs of spaces WITHIN one source line survive —
+        # the reference collapses whitespace only across line joins
+        # (common.py:211-212), e.g. '0  0' stays '0  0'. Only line-join
+        # whitespace is guaranteed single:
+    if "  " not in t:
+        for p in paras:
+            assert "  " not in p
 
 
 @settings(max_examples=100, deadline=None)
