@@ -83,13 +83,28 @@ def _q_extract_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal stage: media spans -> typed binary relation -> stubbed
     decode/feature-extract (deterministic fake decoder; rows-only check —
-    payload synthesis is the Python channel, not SQL-derivable)."""
+    the media span POSITIONS come from the seeded channel RNG, not
+    SQL-derivable; the decode math itself is oracle-checked by the
+    ``media_decode`` query). The array<float> feature is serialized to a
+    comma-joined u8 string because the driver's canonicalizer sorts cell
+    values and cannot hash list cells."""
     from pyspark.sql import functions as F
 
     from pdf2ocr_spark.operators.media import decode_media, media_table
 
     docs = load_docs_corpus(spark, sf_dir).where(F.col("doc_id").cast("long") < 200)
-    return decode_media(media_table(docs), fake=True)
+    feats = decode_media(media_table(docs), fake=True)
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "media_type",
+        F.array_join(
+            F.transform("feature", lambda x: F.round(x * 255).cast("int").cast("string")),
+            ",",
+        ).alias("feature_u8"),
+        F.coalesce(F.col("thumb_w").cast("string"), F.lit("-")).alias("thumb_w"),
+        F.coalesce(F.col("thumb_h").cast("string"), F.lit("-")).alias("thumb_h"),
+    )
 
 
 def oracle_sql() -> dict[str, str]:

@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--preserve-layout", action="store_true")
     ap.add_argument("--epub", action="store_true")
     ap.add_argument("--dpi", type=int, default=400)
+    ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-sentences", type=int, default=0)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
@@ -48,6 +49,7 @@ def main() -> None:
         epub=args.epub,
         dpi=args.dpi,
         num_partitions=args.partitions,
+        batch_size=args.batch_size,
         max_sentences=args.max_sentences,
     )
 

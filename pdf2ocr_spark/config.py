@@ -22,6 +22,19 @@ from pdf2ocr_spark.kernel.emit import ALL_FORMATS
 
 VALID_FORMATS = set(ALL_FORMATS) | {"layout_text"}
 
+# reference epub.py:11-27 Tesseract->Calibre language map; also the
+# engine's supported-language table for driver-side --lang validation
+# (the analogue of ref ocr.py:450-493 validate_tesseract_language, which
+# checks the requested code against `tesseract --list-langs` and fails
+# fast instead of silently degrading on a typo'd code).
+TESS_TO_CALIBRE = [
+    ("por", "pt"), ("eng", "en"), ("spa", "es"), ("fra", "fr"), ("deu", "de"),
+    ("ita", "it"), ("nld", "nl"), ("rus", "ru"), ("tur", "tr"), ("jpn", "ja"),
+    ("chi_sim", "zh"), ("heb", "he"),
+]
+
+SUPPORTED_LANGS = frozenset(t for t, _ in TESS_TO_CALIBRE)
+
 
 class ConfigError(ValueError):
     pass
@@ -58,6 +71,12 @@ class ExtractConfig:
                     "at least one output format is required (ref config.py:96-112)"
                 )
 
+        if self.lang not in SUPPORTED_LANGS:
+            raise ConfigError(
+                f"unsupported OCR language {self.lang!r}; supported: "
+                f"{sorted(SUPPORTED_LANGS)} (ref ocr.py:450-493 validates "
+                "against `tesseract --list-langs`)"
+            )
         if not 72 <= self.dpi <= 1200:
             raise ConfigError("dpi must be within [72, 1200] (ref main.py:166-168)")
         if self.num_partitions is not None and self.num_partitions < 1:

@@ -88,27 +88,25 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h31) distinct shingle hashes per doc."""
-    return docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-    ).select("doc_id", (base_hash(F.col("shingle")) % MINHASH_PRIME).alias("h31"))
-
-
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>[N_PERM]) — min over shingles per permutation."""
-    sh = _shingle_hashes(docs)
-    perms = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("j"),
-        "h31",
-    ).select("doc_id", "j", perm_hash(F.col("h31"), F.col("j")).alias("ph"))
-    mins = perms.groupBy("doc_id", "j").agg(F.min("ph").alias("mh"))
-    return mins.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s["mh"]
-        ).alias("sig")
+    """(doc_id, sig: array<long>[N_PERM]) — min over shingles per permutation.
+
+    The signature is a pure function of ONE row's shingle array, so it is
+    computed entirely per-row with nested higher-order functions (transform
+    over permutations x array_min over shingle hashes) — zero shuffle, fully
+    fused into the scan stage. Round 1 exploded the shingle relation 16x and
+    shuffled it twice (groupBy(doc,j) -> groupBy(doc)); at 10^12 docs that
+    was 16x shuffle amplification of the largest intermediate for no reason.
+    """
+    h31s = F.transform(
+        word_shingles(F.col("text")),
+        lambda s: base_hash(s) % MINHASH_PRIME,
     )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
+        lambda j: F.array_min(F.transform(h31s, lambda h: perm_hash(h, j))),
+    )
+    return docs.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
@@ -216,36 +214,59 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """63-bit SimHash per doc: sign of the per-bit sum of +/-1 token-hash
-    bits (distinct tokens, unweighted)."""
+    bits (distinct tokens, unweighted).
+
+    Computed entirely per-row: hash each distinct token once, then fold the
+    token array into a 63-long bit-sum vector with ``aggregate``+``zip_with``
+    and pack the signs — zero shuffle, fused into the scan. Round 1 exploded
+    tokens x 63 bits and shuffled the bits relation (63x amplification).
+
+    Bit b of a token is extracted as trunc(h / 2^b) % 2: h < 2^32 is exact
+    in double and division by a power of two is exact, so this equals
+    shiftright(h, b) while letting b be a lambda variable (F.shiftright
+    takes only literal shifts).
+    """
     docs = with_near_dup_corpus(documents)
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).select("doc_id", base_hash(F.col("tok")).alias("h1"), base_hash(F.concat(F.col("tok"), F.lit("#2"))).alias("h2"))
     # 63 bits from two 32-bit halves: bits 0..31 from h1, 32..62 from h2
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h1",
-        "h2",
-    ).select(
-        "doc_id",
-        "bit",
-        # shiftright with a per-row shift amount needs the SQL form (the
-        # Python helper only takes a literal int)
-        F.expr(
-            "CASE WHEN bit < 32 THEN shiftright(h1, CAST(bit AS INT)) % 2 "
-            "ELSE shiftright(h2, CAST(bit - 32 AS INT)) % 2 END"
-        ).alias("b"),
+    hs = F.transform(
+        F.array_distinct(F.split("text", " ")),
+        lambda t: F.struct(
+            base_hash(t).alias("h1"),
+            base_hash(F.concat(t, F.lit("#2"))).alias("h2"),
+        ),
     )
-    sums = bits.groupBy("doc_id", "bit").agg(
-        F.sum(F.col("b") * 2 - 1).alias("s")
+
+    def token_bits(s: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda bit: (
+                F.when(
+                    bit < 32,
+                    (s["h1"] / F.pow(F.lit(2.0), bit)).cast("long") % 2,
+                ).otherwise(
+                    (s["h2"] / F.pow(F.lit(2.0), bit - 32)).cast("long") % 2
+                )
+                * 2
+                - 1
+            ),
+        )
+
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, s: F.zip_with(acc, token_bits(s), lambda a, b: a + b),
     )
-    return sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
+    simhash = F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda s, bit: F.when(s > 0, F.pow(F.lit(2.0), bit).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    return docs.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:

@@ -21,9 +21,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 QUERY_STRIDE = 50  # vec_id % 50 == 0 -> deterministic query set
+N_QUERIES = 100  # hard cap: query set is CONSTANT-size, not O(N)
 TOP_K = 5
 N_PLANES = 8
 DIM = 64
+
+
+def _query_filter(vec_id: Column) -> Column:
+    """Deterministic bounded query set: every QUERY_STRIDE-th vector, capped
+    at N_QUERIES ids. The cap is what keeps the exact baseline from going
+    quadratic — with an unbounded stride the query side grows with N and the
+    broadcast nested-loop scores O(N^2/stride) pairs."""
+    return (vec_id % QUERY_STRIDE == 0) & (vec_id < QUERY_STRIDE * N_QUERIES)
 
 
 def _as_double(col) -> Column:
@@ -49,7 +58,7 @@ def cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     base = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("nrm", _norm(F.col("e")))
-    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    queries = base.where(_query_filter(F.col("vec_id"))).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
@@ -120,7 +129,7 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         .withColumn("nrm", _norm(F.col("e")))
         .withColumn("bucket", lsh_bucket(F.col("e")))
     )
-    queries = base.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    queries = base.where(_query_filter(F.col("vec_id"))).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),

@@ -9,6 +9,7 @@ from pdf2ocr_spark.functions.quality import FINGERPRINT_K, LANGS, STOPWORDS
 from pdf2ocr_spark.functions.similarity import (
     DIM,
     N_PLANES,
+    N_QUERIES,
     QUERY_STRIDE,
     TOP_K,
 )
@@ -23,7 +24,7 @@ base AS (
 ),
 queries AS (
     SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM base
-    WHERE vec_id % {QUERY_STRIDE} = 0
+    WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_STRIDE * N_QUERIES}
 )
 """
 
@@ -74,7 +75,8 @@ WITH {_BASE},
 {_PLANES.lstrip()},
 qb AS (
     SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, bucket AS qbucket
-    FROM bucketed WHERE vec_id % {QUERY_STRIDE} = 0
+    FROM bucketed
+    WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_STRIDE * N_QUERIES}
 ),
 scored AS (
     SELECT q.query_id, b.vec_id AS neighbor_id,

@@ -79,18 +79,19 @@ def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
     return f
 
 
-def sobel_magnitude(img: np.ndarray) -> np.ndarray:
+def sobel_x(img: np.ndarray) -> np.ndarray:
+    """Single-axis Sobel derivative along the last axis — what the
+    reference's ``ndimage.sobel(img)`` computes (ocr.py:109, default
+    axis=-1); the edge mask is |sobel_x|, not the 2-axis magnitude.
+    Boundary handling is edge-replicate (scipy defaults to reflect; the
+    difference touches only the 1-pixel border, which is paper margin by
+    construction)."""
     f = img.astype(np.float64)
     p = np.pad(f, 1, mode="edge")
-    gx = (
+    return (
         p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
         - p[:-2, :-2] - 2 * p[1:-1, :-2] - p[2:, :-2]
     )
-    gy = (
-        p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
-        - p[:-2, :-2] - 2 * p[:-2, 1:-1] - p[:-2, 2:]
-    )
-    return np.hypot(gx, gy)
 
 
 def edge_preserving_denoise(img: np.ndarray) -> np.ndarray:
@@ -98,7 +99,7 @@ def edge_preserving_denoise(img: np.ndarray) -> np.ndarray:
     the original pixel where |sobel| exceeds its 80th percentile; elsewhere
     blend 0.7*blur + 0.3*original."""
     blur = gaussian_blur(img, 0.5)
-    edges = sobel_magnitude(img)
+    edges = np.abs(sobel_x(img))
     thresh = np.percentile(edges, 80)
     orig = img.astype(np.float64)
     blended = 0.7 * blur + 0.3 * orig
@@ -166,14 +167,16 @@ def otsu_threshold(img: np.ndarray) -> int:
 
 
 def preprocess_page(img: np.ndarray) -> np.ndarray:
-    """The full chain with both reference guards: revert to the (grayscale)
-    original if the result collapses (std < 10, ocr.py:170-174) or if any
-    step raises (ocr.py:176-184)."""
+    """The full chain with both reference guards (ocr.py:170-184): if the
+    result collapses (std < 10) revert to the Step-1 array (grayscale +
+    autocontrast + median — ocr.py:93-98 keeps exactly that as
+    ``original_array``); if any step raises, revert to Step-1 and apply the
+    reference's exception fallback on top (autocontrast(cutoff=2) +
+    median, ocr.py:176-184)."""
     gray = to_grayscale(img)
+    step1 = median3(autocontrast(gray))
     try:
-        out = autocontrast(gray)
-        out = median3(out)
-        out = edge_preserving_denoise(out)
+        out = edge_preserving_denoise(step1)
         # CLAHE slot: the container has no skimage, so the chain uses the
         # reference's own ImportError fallback — autocontrast(cutoff=1)
         # (ocr.py:136-139). Full-histogram equalize() stays available as a
@@ -185,7 +188,7 @@ def preprocess_page(img: np.ndarray) -> np.ndarray:
         out = contrast(out, 1.1)
         out = unsharp_mask(out, 1.0, 0.2)
         if float(np.std(out.astype(np.float64))) < 10.0:
-            return gray
+            return step1
         return out
     except Exception:
-        return gray
+        return median3(autocontrast(step1, cutoff=2))

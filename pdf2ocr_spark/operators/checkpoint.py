@@ -168,10 +168,27 @@ def run_checkpointed(
         os.path.join(output_dir, "combined")
     )
 
+    # partitions that received ZERO documents emit no kernel sentinel (the
+    # kernel never saw them), so `planned` is only an upper bound — count
+    # processed from the lineage rows actually present after the write
+    # (done-partitions keep their old rows under dynamic overwrite, so the
+    # difference is exactly this run's work). A never-seen partition stays
+    # unmarked and is re-planned on resume, which is a no-op (zero rows);
+    # marking it done instead would wrongly skip its documents when a
+    # resume is fed input the crashed run never read. The read-back scans
+    # <= one lineage row per partition.
+    present = {
+        r["part_id"]
+        for r in _combined(spark, output_dir)
+        .where(F.col("kind") == LINEAGE_KIND)
+        .select("part_id")
+        .distinct()
+        .collect()
+    }
     return {
         "partitions": num_partitions,
         "skipped": len(done),
-        "processed": planned,
+        "processed": len(present - done),
     }
 
 

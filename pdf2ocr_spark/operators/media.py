@@ -78,6 +78,14 @@ def media_table(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode("spans").alias("s")
     ).where(F.col("s.kind") == "media")
     refs = spans.select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    return synthesize_payloads(refs)
+
+
+def synthesize_payloads(refs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref) -> typed media relation with md5-seeded payload
+    bytes + metadata. Pure function of media_ref, so any ref relation (the
+    exploded spans, or a SQL-derivable synthetic set for oracle checks)
+    gets identical payloads."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,9 +113,12 @@ def media_table(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes, media_type: str) -> list:
     """Deterministic fake feature vector: FEATURE_DIM floats folded from
-    the payload digest. Stands in for image-embed / audio-fingerprint /
-    video-frame-sample until real decoders are available."""
-    d = hashlib.md5(payload).digest()
+    the digest of the payload's lowercase hex (hex, not raw bytes, so the
+    DuckDB oracle — whose md5() takes VARCHAR only — can reproduce it as
+    md5(repeat(payload_md5_hex, n_bytes/16))). Stands in for image-embed /
+    audio-fingerprint / video-frame-sample until real decoders are
+    available."""
+    d = hashlib.md5(payload.hex().encode()).digest()
     return [round(b / 255.0, 6) for b in d[:FEATURE_DIM]]
 
 

@@ -30,14 +30,34 @@ OCR_STATS_SCHEMA = T.StructType(
 )
 
 
-def ocr_recover_stats(docs: DataFrame, max_pages_per_doc: int = 4) -> DataFrame:
+def ocr_recover_stats(
+    docs: DataFrame,
+    max_pages_per_doc: int = 4,
+    dpi: int = None,
+    batch_size: int = None,
+) -> DataFrame:
     """Run the OCR round trip over (a bounded number of) pages per doc and
     report per-doc recovery stats. Bounding keeps the demo query cheap;
-    the kernel itself has no such limit."""
+    the kernel itself has no such limit.
+
+    ``dpi`` scales the raster resolution (ref ocr.py:40 zoom matrix).
+    ``batch_size`` windows the per-doc page rendering (ref ocr.py:393-433):
+    pages are rendered window by window into pre-allocated slots and each
+    window's bitmaps are freed before the next renders, so peak bitmap
+    memory per task is O(batch_size), not O(pages) — the heavy-doc-tail
+    control at scale."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdf2ocr_spark.kernel.rasterocr import ocr_roundtrip
+        from pdf2ocr_spark.kernel.imageproc import preprocess_page
+        from pdf2ocr_spark.kernel.rasterocr import (
+            DEFAULT_DPI,
+            decode_page,
+            page_batch_ranges,
+            rebuild_wrapped,
+            render_page,
+        )
 
+        eff_dpi = dpi or DEFAULT_DPI
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
@@ -46,12 +66,20 @@ def ocr_recover_stats(docs: DataFrame, max_pages_per_doc: int = 4) -> DataFrame:
                     for s in sorted(spans, key=lambda s: s["offset"])
                     if s.get("kind") == "page"
                 ][:max_pages_per_doc]
-                matches = chars = 0
-                for p in pages:
-                    rec = ocr_roundtrip(p)
-                    chars += len(p)
-                    if rec == p:
-                        matches += 1
+                # pre-allocated slots + windowed render (ref ocr.py:386-433)
+                recovered = [None] * len(pages)
+                for start, end in page_batch_ranges(len(pages), batch_size):
+                    bitmaps = [
+                        render_page(pages[i], dpi=eff_dpi)
+                        for i in range(start, end + 1)
+                    ]
+                    for i, img in enumerate(bitmaps, start=start):
+                        recovered[i] = rebuild_wrapped(
+                            pages[i], decode_page(preprocess_page(img), dpi=eff_dpi)
+                        )
+                    del bitmaps  # free the window before the next renders
+                matches = sum(1 for p, r in zip(pages, recovered) if p == r)
+                chars = sum(len(p) for p in pages)
                 rows.append((doc_id, len(pages), matches, chars))
             yield pd.DataFrame(
                 rows,

@@ -239,23 +239,42 @@ FROM documents
 
 
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus summary aggregates (ref converters/pdf.py:1016-1032)."""
+    """Corpus summary aggregates (ref converters/pdf.py:1016-1032).
+
+    avg_chars_bp uses EXACT integer arithmetic
+    ``(20000*sum + n) div (2*n)`` == floor(avg*10000 + 0.5): the double
+    formulation sits exactly on the floor(+0.5) tie boundary for most
+    groups (sum*10000 divisible by n), where 1-ulp engine differences flip
+    the result.
+    """
     docs = _documents(spark, sf_dir)
-    # fixed-point avg (floor(x*10000+0.5)): round() tie-breaking differs
-    # between engines — see functions/quality.py:bp
-    return docs.groupBy("source", "lang").agg(
-        F.count("*").alias("n_docs"),
-        F.floor(F.avg("n_chars") * 10000 + F.lit(0.5)).cast("long").alias("avg_chars_bp"),
-        F.sum("n_chars").alias("total_chars"),
-        F.max("n_chars").alias("max_chars"),
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.expr("(20000 * total_chars + n_docs) div (2 * n_docs)").alias(
+                "avg_chars_bp"
+            ),
+            "total_chars",
+            "max_chars",
+        )
     )
 
 
+# DuckDB sum(BIGINT) yields HUGEINT which pandas materializes as float64;
+# CAST to BIGINT so the driver's value hash sees the same int64 as Spark.
 SQL_SUMMARY_STATS = """
 SELECT source, lang,
        count(*) AS n_docs,
-       CAST(floor(avg(n_chars) * 10000 + 0.5) AS BIGINT) AS avg_chars_bp,
-       sum(n_chars) AS total_chars,
+       CAST((20000 * CAST(sum(n_chars) AS BIGINT) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_chars_bp,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        max(n_chars) AS max_chars
 FROM documents
 GROUP BY source, lang
@@ -367,46 +386,69 @@ GROUP BY doc_id
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated header/footer strip as a relational plan (ref
     common.py:116-150): edge lines (first/last two by position) -> per-doc
-    distinct-page frequency >= 60% with >= 3 pages -> anti-join filter.
-    Returns per-doc totals (pages, boilerplate lines, kept lines).
+    distinct-page frequency >= 60% with >= 3 pages. Returns per-doc totals
+    (pages, boilerplate lines, kept lines).
+
+    SINGLE PASS over the exploded line relation: one page-window tags edge
+    lines, one (doc_id, line_text) aggregation collects occurrence counts +
+    edge-page hits, and the boiler decision + totals fold out of that small
+    aggregated relation (a doc_id window for n_pages, then a final doc_id
+    agg that reuses the window's partitioning — no extra exchange). Round 1
+    cached the line relation and re-aggregated it 3x + an anti-join
+    (6 exchanges); a cache of the exploded lines is not available at 100 TB.
     """
     from pyspark.sql.window import Window
 
-    lines = _all_lines(_documents(spark, sf_dir)).cache()
+    lines = _all_lines(_documents(spark, sf_dir))
 
-    w_asc = Window.partitionBy("doc_id", "page_id").orderBy("line_no")
-    w_desc = Window.partitionBy("doc_id", "page_id").orderBy(F.desc("line_no"))
-    edges = (
-        lines.withColumn("rn_a", F.row_number().over(w_asc))
-        .withColumn("rn_d", F.row_number().over(w_desc))
-        .where((F.col("rn_a") <= 2) | (F.col("rn_d") <= 2))
-        .select("doc_id", "page_id", "line_text")
-        .distinct()
-    )
-
-    npages = lines.groupBy("doc_id").agg(
-        (F.max("page_id") + 1).alias("n_pages")
-    )
-    boiler = (
-        edges.groupBy("doc_id", "line_text")
-        .agg(F.countDistinct("page_id").alias("n_hit_pages"))
-        .join(npages, "doc_id")
-        .where((F.col("n_pages") >= 3) & (F.col("n_hit_pages") >= 0.6 * F.col("n_pages")))
-        .select("doc_id", "line_text")
-    )
-
-    kept = lines.join(boiler, ["doc_id", "line_text"], "left_anti")
-    n_boiler = boiler.groupBy("doc_id").agg(F.count("*").alias("n_boiler_lines"))
-    n_kept = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept_lines"))
-    return (
-        npages.join(n_boiler, "doc_id", "left")
-        .join(n_kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_pages").cast("long").alias("n_pages"),
-            F.coalesce("n_boiler_lines", F.lit(0)).cast("long").alias("n_boiler_lines"),
-            F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias("n_kept_lines"),
+    w_page = Window.partitionBy("doc_id", "page_id")
+    w_asc = w_page.orderBy("line_no")
+    # line_no is unique within a page, so rn_a > n_in_page - 2 is exactly
+    # the round-1 "row_number desc <= 2" edge predicate
+    tagged = lines.select(
+        "doc_id",
+        "page_id",
+        "line_text",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.count("*").over(w_page).alias("n_in_page"),
+    ).select(
+        "doc_id",
+        "line_text",
+        "page_id",
+        F.when(
+            (F.col("rn_a") <= 2) | (F.col("rn_a") > F.col("n_in_page") - 2),
+            F.lit(1),
         )
+        .otherwise(F.lit(0))
+        .alias("is_edge"),
+    )
+
+    # per-(doc,page,line_text) pre-agg reuses the page window's hash(doc,
+    # page) partitioning (subset of the grouping keys) -> NO exchange; the
+    # max(is_edge) collapses multiple edge hits of a line on one page so
+    # the next level's sum counts DISTINCT hit pages without an expand.
+    per_page_line = tagged.groupBy("doc_id", "page_id", "line_text").agg(
+        F.count("*").alias("n_occ_pg"),
+        F.max("is_edge").alias("edge_hit"),
+    )
+    per_line = per_page_line.groupBy("doc_id", "line_text").agg(
+        F.sum("n_occ_pg").alias("n_occ"),
+        F.sum("edge_hit").alias("n_hit_pages"),
+        F.max("page_id").alias("max_page"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    with_pages = per_line.withColumn(
+        "n_pages", F.max("max_page").over(w_doc) + 1
+    )
+    is_boiler = (F.col("n_pages") >= 3) & (
+        F.col("n_hit_pages") >= 0.6 * F.col("n_pages")
+    )
+    return with_pages.groupBy("doc_id").agg(
+        F.first("n_pages").cast("long").alias("n_pages"),
+        F.sum(F.when(is_boiler, 1).otherwise(0)).cast("long").alias("n_boiler_lines"),
+        F.sum(F.when(is_boiler, 0).otherwise(F.col("n_occ")))
+        .cast("long")
+        .alias("n_kept_lines"),
     )
 
 
@@ -495,6 +537,79 @@ FROM documents
 """
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked multimodal decode stage (operators/media.py): a
+    SQL-derivable synthetic ref set (one media ref per doc) is pushed
+    through the SAME payload-synthesis + mapInPandas decode stage as the
+    channel's media spans, and every output is serialized to scalars the
+    oracle can reproduce (feature bytes recovered via round(f*255))."""
+    from pdf2ocr_spark.operators.media import decode_media, synthesize_payloads
+
+    refs = (
+        _documents(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(
+                F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/0")
+            ).alias("media_ref"),
+        )
+    )
+    feats = decode_media(synthesize_payloads(refs), fake=True)
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "media_type",
+        F.array_join(
+            F.transform(
+                "feature", lambda x: F.round(x * 255).cast("int").cast("string")
+            ),
+            ",",
+        ).alias("feature_u8"),
+        F.coalesce(F.col("thumb_w").cast("string"), F.lit("-")).alias("thumb_w"),
+        F.coalesce(F.col("thumb_h").cast("string"), F.lit("-")).alias("thumb_h"),
+    )
+
+
+# mirrors operators/media.py exactly: media_type = md5('media:'||ref)[0]%3,
+# n_bytes = 256 + byte1*16 (always a multiple of 16), payload = the
+# 'payload:'||ref digest repeated n_bytes/16 times, feature bytes = the
+# first 16 bytes of md5(lowercase-hex(payload)); thumbs clamp to 32 except
+# audio (NULL -> '-').
+SQL_MEDIA_DECODE = """
+WITH refs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           'media://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref
+    FROM documents WHERE doc_id < 200
+),
+seeded AS (
+    SELECT doc_id, media_ref,
+           md5('media:' || media_ref) AS mh,
+           md5('payload:' || media_ref) AS ph
+    FROM refs
+),
+typed AS (
+    SELECT doc_id, media_ref,
+           CAST('0x' || substr(mh, 1, 2) AS INT) % 3 AS t0,
+           256 + CAST('0x' || substr(mh, 3, 2) AS INT) * 16 AS n_bytes,
+           ph
+    FROM seeded
+),
+feat AS (
+    SELECT *, md5(repeat(ph, n_bytes // 16)) AS fh FROM typed
+)
+SELECT doc_id, media_ref,
+       CASE t0 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       array_to_string(
+           list_transform(range(16),
+               i -> CAST(CAST('0x' || substr(fh, 2 * i + 1, 2) AS INT) AS VARCHAR)),
+           ',') AS feature_u8,
+       CASE WHEN t0 = 1 THEN '-' ELSE '32' END AS thumb_w,
+       CASE WHEN t0 = 1 THEN '-' ELSE '32' END AS thumb_h
+FROM feat
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (functions/: dedup, similarity, quality)
 # --------------------------------------------------------------------------
@@ -561,12 +676,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only observable computation besides the Calibre subprocess); our corpus
 # stores Calibre-style codes, so the query derives the OCR (Tesseract)
 # code by reverse lookup (first match in reference dict order) and maps it
-# forward again — epub.py:86 defaults unknown codes to English.
-TESS_TO_CALIBRE = [
-    ("por", "pt"), ("eng", "en"), ("spa", "es"), ("fra", "fr"), ("deu", "de"),
-    ("ita", "it"), ("nld", "nl"), ("rus", "ru"), ("tur", "tr"), ("jpn", "ja"),
-    ("chi_sim", "zh"), ("heb", "he"),
-]
+# forward again — epub.py:86 defaults unknown codes to English. The table
+# itself lives in config.py (it doubles as the --lang allowlist).
+from pdf2ocr_spark.config import TESS_TO_CALIBRE  # noqa: E402
 
 
 def q_epub_lang_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,6 +854,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_pricing_summary": q_pricing_summary,
     "tpch_top_revenue": q_top_revenue_orders,
     "events_windowed": q_events_windowed,
+    "media_decode": q_media_decode,
 }
 
 
@@ -789,5 +902,6 @@ ORACLE_SQL: Dict[str, str] = {
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
     "tpch_top_revenue": SQL_TOP_REVENUE,
     "events_windowed": SQL_EVENTS_WINDOWED,
+    "media_decode": SQL_MEDIA_DECODE,
     **_training_oracle_sql(),
 }

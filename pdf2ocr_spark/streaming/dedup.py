@@ -41,14 +41,20 @@ def _dedup_fn(
 ) -> Iterator[pd.DataFrame]:
     (text_hash,) = key
     keeper = state.get[0] if state.exists else None
+    # drain ALL Arrow chunks of the group before choosing the keeper: a
+    # per-chunk choice would be chunk-order dependent and could diverge
+    # from batch exact_dedup's min(doc_id) when one micro-batch spans
+    # multiple chunks
+    doc_ids = sorted(
+        int(d) for pdf in pdfs for d in pdf["doc_id"]
+    )
     out = []
-    for pdf in pdfs:
-        for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-            if keeper is None:
-                keeper = doc_id
-                out.append((text_hash, doc_id, False, doc_id))
-            else:
-                out.append((text_hash, doc_id, True, keeper))
+    for doc_id in doc_ids:
+        if keeper is None:
+            keeper = doc_id
+            out.append((text_hash, doc_id, False, doc_id))
+        else:
+            out.append((text_hash, doc_id, True, keeper))
     state.update((keeper,))
     yield pd.DataFrame(
         out, columns=["text_hash", "doc_id", "is_duplicate", "keeper_doc_id"]

@@ -60,3 +60,16 @@ def test_batch_and_partitions():
         ExtractConfig(batch_size=0)
     with pytest.raises(ConfigError):
         ExtractConfig(num_partitions=0)
+
+
+def test_unsupported_lang_rejected():
+    # ref ocr.py:450-493: a typo'd lang must fail fast, not silently degrade
+    with pytest.raises(ConfigError):
+        ExtractConfig(lang="porr")
+    with pytest.raises(ConfigError):
+        ExtractConfig(lang="xx")
+
+
+@pytest.mark.parametrize("lang", ["eng", "por", "deu", "chi_sim"])
+def test_supported_langs_accepted(lang):
+    assert ExtractConfig(lang=lang).lang == lang

@@ -117,3 +117,50 @@ def test_spark_ocr_stage(spark, sf_dir):
     assert len(stats) == 40
     # the round trip is exact for the generated corpus (CHARSET covers it)
     assert (stats["recovered_matches"] == stats["page_count"]).all()
+
+
+class TestDpiAndBatching:
+    """--dpi and --batch-size threading (ref ocr.py:40 zoom matrix;
+    ref ocr.py:393-433 page-window batching, ranges pinned by
+    ref tests/test_batch_size.py:92-97)."""
+
+    def test_dpi_scales_bitmap(self):
+        from pdf2ocr_spark.kernel.rasterocr import render_page
+
+        lo = render_page("scaling check", dpi=400)
+        hi = render_page("scaling check", dpi=800)
+        assert hi.shape[0] == 2 * lo.shape[0]
+        assert hi.shape[1] == 2 * lo.shape[1]
+
+    def test_roundtrip_at_high_dpi(self):
+        assert ocr_roundtrip("dpi eight hundred check.", dpi=800) == (
+            "dpi eight hundred check."
+        )
+
+    def test_batch_ranges_reference_cases(self):
+        from pdf2ocr_spark.kernel.rasterocr import page_batch_ranges
+
+        # ref tests/test_batch_size.py:92-97 (0-based inclusive windows)
+        assert page_batch_ranges(10, 3) == [(0, 2), (3, 5), (6, 8), (9, 9)]
+        assert page_batch_ranges(5, 10) == [(0, 4)]
+        assert page_batch_ranges(4, 1) == [(0, 0), (1, 1), (2, 2), (3, 3)]
+        assert page_batch_ranges(10, None) == [(0, 9)]
+        assert page_batch_ranges(0, 3) == []
+
+    def test_batched_recover_equals_unbatched(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from pdf2ocr_spark.operators.ocr import ocr_recover_stats
+        from pdf2ocr_spark.pipeline import load_docs_corpus
+
+        docs = load_docs_corpus(spark, sf_dir).where(
+            F.col("doc_id").cast("long") < 8
+        )
+        base = ocr_recover_stats(docs, max_pages_per_doc=3).toPandas()
+        batched = ocr_recover_stats(
+            docs, max_pages_per_doc=3, batch_size=2
+        ).toPandas()
+        b = base.sort_values("doc_id").reset_index(drop=True)
+        w = batched.sort_values("doc_id").reset_index(drop=True)
+        assert (b == w).all().all()
+        assert (b["recovered_matches"] == b["page_count"]).all()

@@ -52,6 +52,12 @@ def test_query_matches_oracle(name, spark, sf_dir, ducks):
     s_cols, s_rows = normalize(spark_df)
     o_cols, o_rows = normalize(oracle_df)
     assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
+    # dtype KINDS must agree too: the driver's value hash distinguishes
+    # 1234567 from 1234567.0 (DuckDB HUGEINT -> pandas float64 masked the
+    # summary_stats mismatch in round 1); Python == comparison does not.
+    s_kinds = {c: spark_df[c].dtype.kind for c in spark_df.columns}
+    o_kinds = {c: oracle_df[c].dtype.kind for c in oracle_df.columns}
+    assert s_kinds == o_kinds, f"{name}: dtype kinds {s_kinds} != {o_kinds}"
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]
