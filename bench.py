@@ -25,9 +25,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: the N vs 4N scaling pair uses HALF the box (4 vs 16 pinned cores on 32):
 #: runs at full width are visibly perturbed by host/VM noise (observed
-#: 11.5-20.5s spread on identical 32-core runs), while <=half-width pinned
-#: runs are stable. The full-width run is still reported as the headline
-#: throughput.
+#: 11.5-20.5s spread on identical 32-core runs in-repo, and a further 2.5x
+#: divergence between driver-recorded and in-repo full-box walls in round
+#: 1), while <=half-width pinned runs reproduce within a few percent. The
+#: HEADLINE is therefore the pinned 4N (16-core) run — the protocol's own
+#: official level — and the full-width run is recorded as informational
+#: "fullbox".
 SMALL_CPUS = max(1, CPUS // 8)
 BIG_CPUS = max(SMALL_CPUS * 4, CPUS // 2)
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
@@ -86,9 +89,26 @@ def _fresh_spark(cpus: int):
     )
 
 
+def _warm_python_workers(spark) -> None:
+    """Spawn the session's Python/Arrow worker pool once before timing:
+    the first pandas_udf stage otherwise pays ~5s of worker startup that
+    would be attributed to whichever query runs it first."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _ident(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(0, 10_000, 1, CPUS * 2).select(_ident("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 def time_queries(spark) -> dict:
     from pdf2ocr_spark.plans import QUERIES
 
+    _warm_python_workers(spark)
     timings = {}
     for name, fn in sorted(QUERIES.items()):
         df = fn(spark, SF_DIR)
@@ -213,10 +233,15 @@ def main() -> None:
         small.pop("counts", None)
         big = extract_run(BIG_CPUS, tile, counts=counts)
         big.pop("counts", None)
-        headline = (
-            extract_run(CPUS, tile, counts=counts) if CPUS > BIG_CPUS else dict(big)
+        # headline = the pinned 4N run (see SMALL_CPUS note): full-box
+        # walls on this VM are noise-dominated and not reproducible
+        # across harnesses; the pinned pair is.
+        headline = dict(big)
+        fullbox = (
+            extract_run(CPUS, tile, counts=counts) if CPUS > BIG_CPUS else None
         )
-        headline.pop("counts", None)
+        if fullbox:
+            fullbox.pop("counts", None)
         ratio = BIG_CPUS / SMALL_CPUS
         eff = big["docs_per_sec"] / (ratio * small["docs_per_sec"])
         extract = {
@@ -224,6 +249,7 @@ def main() -> None:
             "small": small,
             "big": big,
             "headline": headline,
+            "fullbox": fullbox,
             "scaling_ratio": ratio,
             "scaling_efficiency": round(eff, 3),
         }

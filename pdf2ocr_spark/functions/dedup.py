@@ -23,6 +23,10 @@ hot-shingle caps are applied below (shingle DF filtered to df < MAX_DF).
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1
@@ -79,6 +83,17 @@ def with_near_dup_corpus(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").unionByName(mutants)
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism: a
+    small single-file corpus arrives as ONE scan split, which would
+    serialize every CPU-heavy per-row stage built on it. Round-robin (not
+    by doc_id!) so a later ``repartition("doc_id")`` above an expensive
+    stage is NOT elided as redundant — that exchange is what lets a
+    self-join reuse one evaluation of the stage."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact duplicate groups over md5(text)."""
     return (
@@ -88,33 +103,71 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+#: permutation constants, the vectorized twin of perm_hash()
+_PERM_A = (1103515245 * (np.arange(N_PERM, dtype=np.int64) + 1)) % MINHASH_PRIME
+_PERM_B = (12345 * (np.arange(N_PERM, dtype=np.int64) + 7)) % MINHASH_PRIME
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>[N_PERM]) — min over shingles per permutation.
 
     The signature is a pure function of ONE row's shingle array, so it is
-    computed entirely per-row with nested higher-order functions (transform
-    over permutations x array_min over shingle hashes) — zero shuffle, fully
-    fused into the scan stage. Round 1 exploded the shingle relation 16x and
-    shuffled it twice (groupBy(doc,j) -> groupBy(doc)); at 10^12 docs that
-    was 16x shuffle amplification of the largest intermediate for no reason.
+    computed entirely per-row — zero shuffle, fused into the scan stage.
+    Round 1 exploded the shingle relation 16x and shuffled it twice
+    (groupBy(doc,j) -> groupBy(doc)); at 10^12 docs that was 16x shuffle
+    amplification of the largest intermediate for no reason.
+
+    Split of work (measured at sf0.1/local[32]): shingle md5-hashing stays
+    JVM-side (codegen'd, one evaluation — as the single input of a UDF it
+    cannot be re-inlined by projection collapse, which otherwise duplicates
+    the hash tree into every permutation lambda: 60s vs 6s), and the
+    16-permutation min runs as ONE numpy broadcast + minimum.reduceat over
+    the whole Arrow batch (4.9s full LSH query vs 8.5s for the best pure-
+    Catalyst formulation, whose nested-HOF folds evaluate interpreted).
     """
     h31s = F.transform(
         word_shingles(F.col("text")),
         lambda s: base_hash(s) % MINHASH_PRIME,
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
-        lambda j: F.array_min(F.transform(h31s, lambda h: perm_hash(h, j))),
-    )
-    return docs.select("doc_id", sig.alias("sig"))
+
+    @F.pandas_udf("array<long>")
+    def perm_min(hss: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(h) for h in hss), dtype=np.int64, count=len(hss))
+        if len(lens) == 0:
+            return pd.Series([], dtype=object)
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hss])
+        # (N_PERM, total_shingles) permuted hashes; min per row via reduceat
+        # (word_shingles guarantees >= 1 shingle per row)
+        ph = (_PERM_A[:, None] * flat[None, :] + _PERM_B[:, None]) % MINHASH_PRIME
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        return pd.Series(list(np.minimum.reduceat(ph, offsets, axis=1).T))
+
+    return docs.select("doc_id", perm_min(h31s).alias("sig"))
 
 
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + minhash-agreement estimate.
 
     Returns (doc_a, doc_b, est_jaccard) for pairs sharing >=1 band.
+
+    The signature relation is explicitly repartitioned before the band
+    self-join: the Exchange materializes the (small: doc_id + 16 longs)
+    signature rows so BOTH join sides read one ReusedExchange instead of
+    re-running the md5-hashing signature subtree per side — without it the
+    self-join doubles the dominant compute, and projection collapse
+    re-inlines the hash tree into every downstream reference (measured
+    58s -> 4s at sf0.1/local[32]). One small-row shuffle is the price; the
+    band join shuffles the 4x-exploded band relation regardless.
+
+    The corpus is also fanned out BEFORE hashing: a small single-file
+    corpus arrives as ONE scan split, which would serialize the whole
+    hashing stage (at production scale the table has thousands of splits
+    and this shuffle moves each row once — the cost of co-parallelizing
+    the CPU-heavy stage, same move as pipeline.stripe_documents).
     """
-    sigs = minhash_signatures(with_near_dup_corpus(documents))
+    corpus = _fan_out(with_near_dup_corpus(documents))
+    sigs = minhash_signatures(corpus).repartition("doc_id")
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -214,65 +267,70 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """63-bit SimHash per doc: sign of the per-bit sum of +/-1 token-hash
-    bits (distinct tokens, unweighted).
+    bits (distinct tokens, unweighted; bits 0..31 from md5(tok), 32..62
+    from md5(tok+'#2') — identical to the DuckDB oracle's arithmetic).
 
-    Computed entirely per-row: hash each distinct token once, then fold the
-    token array into a 63-long bit-sum vector with ``aggregate``+``zip_with``
-    and pack the signs — zero shuffle, fused into the scan. Round 1 exploded
-    tokens x 63 bits and shuffled the bits relation (63x amplification).
-
-    Bit b of a token is extracted as trunc(h / 2^b) % 2: h < 2^32 is exact
-    in double and division by a power of two is exact, so this equals
-    shiftright(h, b) while letting b be a lambda variable (F.shiftright
-    takes only literal shifts).
+    Computed per-row in an Arrow-batched scalar ``pandas_udf`` with numpy
+    ``unpackbits`` — zero shuffle, fused into the scan. Round 1 exploded
+    tokens x 63 bits and shuffled the bits relation (63x amplification of
+    the token relation — the scale killer). The pure-Catalyst per-row
+    alternative (63 nested ``aggregate`` folds) runs INTERPRETED inside
+    higher-order functions and measured 5.7s at sf0.1/local[32] vs 1.2s
+    for this vectorized kernel (and 2.4s for the round-1 exploded plan),
+    so this is the rare case where the Pandas-UDF path beats the built-in
+    expression path outright.
     """
-    docs = with_near_dup_corpus(documents)
-    # 63 bits from two 32-bit halves: bits 0..31 from h1, 32..62 from h2
-    hs = F.transform(
-        F.array_distinct(F.split("text", " ")),
-        lambda t: F.struct(
-            base_hash(t).alias("h1"),
-            base_hash(F.concat(t, F.lit("#2"))).alias("h2"),
-        ),
-    )
+    @F.pandas_udf("long")
+    def simhash_np(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        md5 = hashlib.md5
+        powers = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
+        for i, text in enumerate(texts):
+            toks = list(dict.fromkeys((text or "").split(" ")))
+            n = len(toks)
+            h1 = np.fromiter(
+                (int.from_bytes(md5(t.encode()).digest()[:4], "big") for t in toks),
+                dtype=np.uint32,
+                count=n,
+            )
+            h2 = np.fromiter(
+                (
+                    int.from_bytes(md5((t + "#2").encode()).digest()[:4], "big")
+                    for t in toks
+                ),
+                dtype=np.uint32,
+                count=n,
+            )
+            # little-endian bit order per 32-bit hash: column b holds bit b
+            b1 = np.unpackbits(
+                h1.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
+            )[:, ::-1]
+            b2 = np.unpackbits(
+                h2.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
+            )[:, ::-1]
+            ones = np.concatenate([b1, b2[:, : SIMHASH_BITS - 32]], axis=1).sum(
+                axis=0
+            )
+            s = 2 * ones.astype(np.int64) - n  # sum of (+-1) per bit
+            out[i] = int(powers[s > 0].sum())
+        return pd.Series(out)
 
-    def token_bits(s: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            lambda bit: (
-                F.when(
-                    bit < 32,
-                    (s["h1"] / F.pow(F.lit(2.0), bit)).cast("long") % 2,
-                ).otherwise(
-                    (s["h2"] / F.pow(F.lit(2.0), bit - 32)).cast("long") % 2
-                )
-                * 2
-                - 1
-            ),
-        )
-
-    sums = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, s: F.zip_with(acc, token_bits(s), lambda a, b: a + b),
-    )
-    simhash = F.aggregate(
-        F.zip_with(
-            sums,
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            lambda s, bit: F.when(s > 0, F.pow(F.lit(2.0), bit).cast("long"))
-            .otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return docs.select("doc_id", simhash.alias("simhash"))
+    # fan out before hashing: a single-split input would serialize the
+    # kernel (see _fan_out; no-op cost at production split counts)
+    docs = _fan_out(with_near_dup_corpus(documents))
+    return docs.select("doc_id", simhash_np("text").alias("simhash"))
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on the top
-    SIMHASH_PREFIX_BITS prefix (docs in different blocks never compared)."""
-    fp = simhash_fingerprints(documents)
+    SIMHASH_PREFIX_BITS prefix (docs in different blocks never compared).
+
+    Fingerprints are repartitioned before the blocked self-join so both
+    sides share one ReusedExchange instead of running the fingerprint
+    kernel twice, and the corpus is fanned out before hashing so a
+    single-split input does not serialize the kernel (see
+    minhash_lsh_pairs)."""
+    fp = simhash_fingerprints(documents).repartition("doc_id")
     blocked = fp.select(
         "doc_id",
         "simhash",

@@ -118,6 +118,74 @@ def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
     return acc
 
 
+NEAR_DUP_STRIDE = 20  # every 20th vector gets a perturbed twin
+NEAR_DUP_SHIFT = 0.02  # additive shift: cos(v, v+c) ~ 0.987 for unit v
+NEAR_DUP_MIN_BP = 9000  # near-dup threshold, fixed-point (cos >= 0.9)
+
+
+def with_near_dup_vectors(embeddings: DataFrame) -> DataFrame:
+    """Benchmark corpus for embedding near-dup detection: union the
+    vectors with a perturbed copy of every NEAR_DUP_STRIDE-th one
+    (constant additive shift in double space), so true near-duplicates
+    (cos ~0.99) exist by construction against a ~[-0.5, 0.5] random-pair
+    background. Twin ids = vec_id + 10^7 (mirrors dedup.with_near_dup_corpus)."""
+    base = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    twins = base.where(F.col("vec_id") % NEAR_DUP_STRIDE == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("e", lambda x: x + F.lit(NEAR_DUP_SHIFT)).alias("e"),
+    )
+    return base.unionByName(twins)
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the fifth dedup mode of the
+    training tier): pairs with cos >= 0.9, candidate set blocked by the
+    8-plane LSH bucket — vectors in different buckets never meet, so the
+    join fan-out is bounded by bucket occupancy, never all-pairs. Recall
+    below 1.0 is inherent LSH semantics (a twin can flip a near-zero
+    plane sign), deterministically identical in both engines.
+
+    The bucketed relation is repartitioned before the self-join so both
+    sides reuse ONE evaluation of the norm+bucket computation (see
+    dedup.minhash_lsh_pairs for the ReusedExchange rationale).
+    """
+    bucketed = (
+        with_near_dup_vectors(embeddings)
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", lsh_bucket(F.col("e")))
+        .repartition("vec_id")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(
+                _dot(F.col("e_a"), F.col("e_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cos_bp"),
+        )
+        .where(F.col("cos_bp") >= NEAR_DUP_MIN_BP)
+    )
+
+
 def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Returns (query_id, neighbor_id, rank, score) — may differ from exact

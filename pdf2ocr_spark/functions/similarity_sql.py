@@ -10,6 +10,9 @@ from pdf2ocr_spark.functions.similarity import (
     DIM,
     N_PLANES,
     N_QUERIES,
+    NEAR_DUP_MIN_BP,
+    NEAR_DUP_SHIFT,
+    NEAR_DUP_STRIDE,
     QUERY_STRIDE,
     TOP_K,
 )
@@ -94,6 +97,50 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
 FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH base0 AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+corpus AS (
+    SELECT vec_id, e FROM base0
+    UNION ALL
+    SELECT vec_id + 10000000 AS vec_id,
+           list_transform(e, x -> x + CAST({NEAR_DUP_SHIFT} AS DOUBLE)) AS e
+    FROM base0 WHERE vec_id % {NEAR_DUP_STRIDE} = 0
+),
+planes AS (
+    SELECT p, d,
+           CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                THEN 1.0 ELSE -1.0 END AS c
+    FROM (SELECT unnest(range({N_PLANES})) AS p),
+         (SELECT unnest(range({DIM})) AS d)
+),
+bucketed AS (
+    SELECT c.vec_id, c.e,
+           sqrt(list_sum(list_transform(c.e, v -> v * v))) AS nrm,
+           CAST(sum(CASE WHEN pd.dot > 0 THEN CAST(pow(2, pd.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM corpus c
+    JOIN (
+        SELECT c2.vec_id, pl.p,
+               sum(c2.e[pl.d + 1] * pl.c) AS dot
+        FROM corpus c2 JOIN planes pl ON true
+        GROUP BY c2.vec_id, pl.p
+    ) pd ON pd.vec_id = c.vec_id
+    GROUP BY c.vec_id, c.e
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(floor(list_sum(list_transform(range({DIM}),
+                    i -> a.e[i + 1] * b.e[i + 1])) / (a.nrm * b.nrm) * 10000 + 0.5)
+                AS BIGINT) AS cos_bp
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_bp FROM pairs WHERE cos_bp >= {NEAR_DUP_MIN_BP}
 """
 
 
