@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: the N vs 4N scaling pair uses HALF the box (4 vs 16 pinned cores on 32):
@@ -93,7 +95,6 @@ def _warm_python_workers(spark) -> None:
     """Spawn the session's Python/Arrow worker pool once before timing:
     the first pandas_udf stage otherwise pays ~5s of worker startup that
     would be attributed to whichever query runs it first."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
