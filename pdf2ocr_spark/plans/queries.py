@@ -83,31 +83,48 @@ def _body_lines(docs: DataFrame) -> DataFrame:
 
 
 def _all_lines(docs: DataFrame) -> DataFrame:
-    """Body lines + synthetic header/footer lines per page."""
-    pages = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.size(F.split("text", " ")) / F.lit(PAGE_WORDS)).cast("long")
-                - 1,
-            )
-        ).alias("page_id"),
+    """Body lines + synthetic header/footer lines per page — ONE scan, one
+    explode: the header/footer structs are appended to the body-line array
+    per row before the explode (round 1 unioned three scans of the same
+    parquet; the single-generate form reads the input once and keeps the
+    whole derivation narrow)."""
+    toks = F.split("text", " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_WORDS)).cast("long")
+    n_pages = F.ceil(F.size(toks) / F.lit(PAGE_WORDS)).cast("long")
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.struct(
+            F.floor(i * LINE_WORDS / PAGE_WORDS).cast("long").alias("page_id"),
+            ((i * LINE_WORDS) % PAGE_WORDS / LINE_WORDS)
+            .cast("long")
+            .alias("line_no"),
+            F.array_join(
+                F.slice(toks, (i * LINE_WORDS + 1).cast("int"), LINE_WORDS), " "
+            ).alias("line_text"),
+        ),
     )
-    headers = pages.select(
-        "doc_id",
-        "page_id",
-        F.lit(-1).cast("long").alias("line_no"),
-        F.concat(F.lit("Journal of "), F.col("source")).alias("line_text"),
+    edges = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n_pages - 1),
+            lambda p: F.array(
+                F.struct(
+                    p.cast("long").alias("page_id"),
+                    F.lit(-1).cast("long").alias("line_no"),
+                    F.concat(F.lit("Journal of "), F.col("source")).alias(
+                        "line_text"
+                    ),
+                ),
+                F.struct(
+                    p.cast("long").alias("page_id"),
+                    F.lit(99).cast("long").alias("line_no"),
+                    (p + 1).cast("string").alias("line_text"),
+                ),
+            ),
+        )
     )
-    footers = pages.select(
-        "doc_id",
-        "page_id",
-        F.lit(99).cast("long").alias("line_no"),
-        (F.col("page_id") + 1).cast("string").alias("line_text"),
-    )
-    return _body_lines(docs).unionByName(headers).unionByName(footers)
+    return docs.select(
+        "doc_id", F.explode(F.concat(body, edges)).alias("ln")
+    ).select("doc_id", "ln.page_id", "ln.line_no", "ln.line_text")
 
 
 # DuckDB-side shared CTEs, textually identical spec
