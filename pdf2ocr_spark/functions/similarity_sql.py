@@ -8,6 +8,7 @@ bit after round(4).
 from pdf2ocr_spark.functions.quality import FINGERPRINT_K, LANGS, STOPWORDS
 from pdf2ocr_spark.functions.similarity import (
     DIM,
+    IVF_K,
     N_PLANES,
     N_QUERIES,
     NEAR_DUP_MIN_BP,
@@ -99,6 +100,45 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+
+SQL_IVF_TOPK = f"""
+WITH {_BASE.replace('queries AS', 'unused_queries AS')},
+cents AS (
+    SELECT vec_id AS k, e AS ce FROM base WHERE vec_id < {IVF_K}
+),
+assigned AS (
+    SELECT vec_id, e, nrm, k AS cell FROM (
+        SELECT b.vec_id, b.e, b.nrm, c.k,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_sum(list_transform(range({DIM}),
+                            i -> b.e[i + 1] * c.ce[i + 1])) DESC, c.k ASC
+               ) AS rn
+        FROM base b, cents c
+    ) WHERE rn = 1
+),
+qv AS (
+    SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cell AS qcell
+    FROM assigned
+    WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_STRIDE * N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range({DIM}),
+                    i -> q.qe[i + 1] * b.e[i + 1])) / (q.qnrm * b.nrm) AS score
+    FROM assigned b JOIN qv q
+      ON b.cell = q.qcell AND b.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 SQL_EMBEDDING_NEAR_DUP = f"""
 WITH base0 AS (

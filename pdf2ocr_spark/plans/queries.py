@@ -677,6 +677,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_embeddings(spark, sf_dir))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf2ocr_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(_embeddings(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf2ocr_spark.functions.quality import lang_id
 
@@ -870,6 +876,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ann_lsh": q_ann_lsh_topk,
+    "similarity_ivf": q_ivf_topk,
     "dedup_embedding_cosine": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -894,6 +901,7 @@ def _training_oracle_sql() -> Dict[str, str]:
         SQL_COSINE_TOPK,
         SQL_EMBEDDING_NEAR_DUP,
         SQL_FINGERPRINT,
+        SQL_IVF_TOPK,
         SQL_LANG_ID,
         SQL_QUALITY_SCORE,
     )
@@ -905,6 +913,7 @@ def _training_oracle_sql() -> Dict[str, str]:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "similarity_cosine_topk": SQL_COSINE_TOPK,
         "similarity_ann_lsh": SQL_ANN_LSH_TOPK,
+        "similarity_ivf": SQL_IVF_TOPK,
         "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUP,
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY_SCORE,
