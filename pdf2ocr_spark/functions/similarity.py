@@ -263,9 +263,16 @@ def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Returns (query_id, neighbor_id, rank, score) — may differ from exact
-    top-k (that is the approximation), deterministically in both engines."""
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    and its ``N_PLANES`` Hamming-1 neighbor buckets (multi-probe LSH —
+    single-bucket probing recalls ~2% of true neighbors on this corpus;
+    probing the 1-bit-flip buckets lifts recall ~10x for 9x candidates).
+    Scale shape is unchanged: the probe expansion multiplies only the
+    CONSTANT-size broadcast query side, and the join stays a hash
+    equality join on bucket id (probed buckets are disjoint, so no
+    dedup). Returns (query_id, neighbor_id, rank, score) — may differ
+    from exact top-k (that is the approximation), deterministically in
+    both engines."""
     from pyspark.sql.window import Window
 
     base = (
@@ -273,15 +280,21 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         .withColumn("nrm", _norm(F.col("e")))
         .withColumn("bucket", lsh_bucket(F.col("e")))
     )
-    queries = base.where(_query_filter(F.col("vec_id"))).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-        F.col("bucket").alias("qbucket"),
+    probe_masks = F.array(F.lit(0), *[F.lit(1 << p) for p in range(N_PLANES)])
+    queries = (
+        base.where(_query_filter(F.col("vec_id")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket"),
+            F.explode(probe_masks).alias("mask"),
+        )
+        .withColumn("pbucket", F.col("qbucket").bitwiseXOR(F.col("mask")))
     )
     cands = base.join(
         F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket"))
+        (F.col("bucket") == F.col("pbucket"))
         & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cands.select(

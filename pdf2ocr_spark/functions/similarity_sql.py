@@ -74,6 +74,8 @@ bucketed AS (
 )
 """
 
+_PROBE_MASKS = "[" + ", ".join(["0"] + [str(1 << p) for p in range(N_PLANES)]) + "]"
+
 SQL_ANN_LSH_TOPK = f"""
 WITH {_BASE},
 {_PLANES.lstrip()},
@@ -82,12 +84,16 @@ qb AS (
     FROM bucketed
     WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_STRIDE * N_QUERIES}
 ),
+qprobe AS (
+    SELECT query_id, qe, qnrm, xor(qbucket, m.mask) AS pbucket
+    FROM qb, (SELECT unnest({_PROBE_MASKS}) AS mask) m
+),
 scored AS (
     SELECT q.query_id, b.vec_id AS neighbor_id,
            list_sum(list_transform(range({DIM}),
                     i -> q.qe[i + 1] * b.e[i + 1])) / (q.qnrm * b.nrm) AS score
-    FROM bucketed b JOIN qb q
-      ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+    FROM bucketed b JOIN qprobe q
+      ON b.bucket = q.pbucket AND b.vec_id <> q.query_id
 ),
 ranked AS (
     SELECT query_id, neighbor_id, score,
