@@ -47,8 +47,12 @@ RE_HEADING_SHAPE = re.compile(
 #: sentence boundary: terminal punctuation followed by whitespace
 RE_SENTENCE_BOUNDARY = re.compile(r"(?<=[.!?…])\s+")
 
-#: bullets that open a list item
-_BULLET_PREFIXES = ("•", "-", "–", "—", "▪")
+#: bullets that open a list item (all single chars -> first-char set test)
+_BULLET_CHARS = frozenset("•-–—▪")
+
+#: sentence-terminal chars; on an already-stripped line this single-char
+#: test is exactly RE_SENTENCE_TERMINAL (hot path: 1-2 checks per FSM line)
+_TERMINAL_CHARS = frozenset(".!?:;")
 
 #: lowercase letters (incl. Portuguese accents) that follow a split ligature
 _LIGATURE_TAIL = "a-záàâãéèêíïóôõúüç"
@@ -112,9 +116,10 @@ def _looks_like_heading(line: str) -> bool:
 
 
 def _looks_like_list_item(line: str) -> bool:
-    if line.startswith(_BULLET_PREFIXES):
+    c0 = line[0]
+    if c0 in _BULLET_CHARS:
         return True
-    return len(line) > 2 and line[0].isdigit() and line[1] in ".)"
+    return len(line) > 2 and c0.isdigit() and line[1] in ".)"
 
 
 def rebuild_paragraphs(text: str) -> str:
@@ -151,8 +156,9 @@ def rebuild_paragraphs(text: str) -> str:
 
         if not line:
             # blank line: only a real paragraph break if the open paragraph
-            # already reads as a finished sentence
-            if open_para and RE_SENTENCE_TERMINAL.search(open_para[-1]):
+            # already reads as a finished sentence (entries are stripped and
+            # non-empty, so the last char IS the RE_SENTENCE_TERMINAL test)
+            if open_para and open_para[-1][-1] in _TERMINAL_CHARS:
                 flush()
             continue
 
@@ -174,10 +180,8 @@ def rebuild_paragraphs(text: str) -> str:
             open_para.append(line)
             continue
 
-        if open_para:
-            ended = RE_SENTENCE_TERMINAL.search(open_para[-1])
-            if ended and line[0].isupper():
-                flush()
+        if open_para and open_para[-1][-1] in _TERMINAL_CHARS and line[0].isupper():
+            flush()
         open_para.append(line)
 
     flush()
@@ -244,9 +248,15 @@ def reassemble_paragraphs(
 
     out: List[str] = []
     for block in text.split("\n\n"):
-        if not block.strip():
-            continue
-        flat = " ".join(piece.strip() for piece in block.split("\n") if piece.strip())
+        # rebuild_paragraphs emits newline-free paragraphs (lines were
+        # splitlines'd and re-joined with spaces), so the per-line
+        # flattening below only runs on the defensive non-FSM path
+        if "\n" not in block:
+            flat = block.strip()
+        else:
+            flat = " ".join(
+                piece.strip() for piece in block.split("\n") if piece.strip()
+            )
         if not flat:
             continue
         if max_sentences and max_sentences > 0:
