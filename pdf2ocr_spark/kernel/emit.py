@@ -41,7 +41,10 @@ from pdf2ocr_spark.kernel.textproc import (
     _looks_like_heading,
     _looks_like_list_item,
     clean_portuguese_charset,
-    reassemble_paragraphs,
+    flatten_blocks,
+    merge_page_paragraphs,
+    rebuild_paragraphs_meta,
+    repair_ligatures,
     strip_boilerplate_lines,
 )
 
@@ -146,12 +149,26 @@ def extract_from_pages(
 
     want = set(formats)
 
+    # ONE FSM pass per page, shared by the per-page formats (text/html)
+    # and the whole-document formats (docx/markdown): the whole-doc result
+    # is reconstructed from the per-page runs with the boundary-merge rule
+    # (textproc.merge_page_paragraphs) instead of a second FSM pass over
+    # every line — property-tested equal to the direct whole-doc FSM.
+    metas = []
+    if want & {"text", "html", "docx_para", "markdown"}:
+        metas = [
+            rebuild_paragraphs_meta(p.replace("\r\n", "\n").replace("\r", "\n"))
+            for p in pages
+        ]
+
     # --- per-page formats (text + html share the 1-based non-empty-page
     # numbering and the page_header emission; pdf.py:82-93 / html.py:113-121)
     if want & {"text", "html"}:
         page_no = 0
-        for page_text in pages:
-            paragraphs = reassemble_paragraphs(page_text, max_sentences)
+        for paras, _kinds, _lo in metas:
+            paragraphs = flatten_blocks(
+                repair_ligatures("\n\n".join(paras)), max_sentences
+            ) if paras else []
             if not paragraphs:
                 continue
             page_no += 1
@@ -165,7 +182,10 @@ def extract_from_pages(
 
     # --- whole-document formats
     if want & {"docx_para", "markdown"}:
-        doc_paragraphs = reassemble_paragraphs(pages, max_sentences)
+        merged = merge_page_paragraphs(metas)
+        doc_paragraphs = flatten_blocks(
+            repair_ligatures("\n\n".join(merged)), max_sentences
+        )
         if "docx_para" in want:
             for para in doc_paragraphs:
                 if para.strip():

@@ -122,8 +122,8 @@ def _looks_like_list_item(line: str) -> bool:
     return len(line) > 2 and c0.isdigit() and line[1] in ".)"
 
 
-def rebuild_paragraphs(text: str) -> str:
-    """Merge per-visual-line OCR output back into logical paragraphs.
+def rebuild_paragraphs_meta(text: str) -> tuple:
+    """FSM core: merge per-visual-line OCR output into logical paragraphs.
 
     Rules (ref parity: converters/common.py:36-113):
       * a blank line flushes the open paragraph only if its last line ends
@@ -136,19 +136,24 @@ def rebuild_paragraphs(text: str) -> str:
         is a paragraph boundary
       * everything else concatenates onto the open paragraph with spaces
 
-    Output paragraphs are joined with blank lines ("\\n\\n") and ligatures
-    are repaired on the final string.
+    Returns ``(paragraphs, kinds, last_from_open)`` with UNREPAIRED
+    paragraphs; ``kinds[i]`` records how paragraph i was opened ('h'eading
+    standalone / 'l'ist item / 'r'egular) and ``last_from_open`` whether
+    the final paragraph was closed by the artificial end-of-input flush —
+    exactly the metadata ``merge_page_paragraphs`` needs to reconstruct
+    the whole-document FSM from per-page runs.
     """
     raw_lines = text.splitlines()
-    if not raw_lines:
-        return text
 
     done: List[str] = []
+    kinds: List[str] = []
     open_para: List[str] = []
+    open_kind = "r"
 
     def flush() -> None:
         if open_para:
             done.append(" ".join(open_para))
+            kinds.append(open_kind)
             open_para.clear()
 
     for raw in raw_lines:
@@ -173,18 +178,69 @@ def rebuild_paragraphs(text: str) -> str:
         if _looks_like_heading(line):
             flush()
             done.append(line)
+            kinds.append("h")
             continue
 
         if _looks_like_list_item(line):
             flush()
+            open_kind = "l"
             open_para.append(line)
             continue
 
         if open_para and open_para[-1][-1] in _TERMINAL_CHARS and line[0].isupper():
             flush()
+        if not open_para:
+            open_kind = "r"
         open_para.append(line)
 
+    last_from_open = bool(open_para)
     flush()
+    return done, kinds, last_from_open
+
+
+def merge_page_paragraphs(metas: Sequence[tuple]) -> List[str]:
+    """Reconstruct the whole-document FSM result from per-page
+    ``rebuild_paragraphs_meta`` outputs, WITHOUT a second FSM pass.
+
+    The FSM's cross-line state is only the open paragraph (decisions read
+    its last line), and pages are joined with a blank line, so the
+    whole-document run differs from the concatenated per-page runs in
+    exactly one way: a page's final paragraph that was closed by the
+    artificial end-of-page flush (``last_from_open``) and does NOT end in
+    sentence-terminal punctuation continues into the next page's first
+    paragraph — unless that paragraph opened as a heading or list item
+    (both flush the carried paragraph in the whole-doc run too). Empty
+    pages carry the open state through. Equivalence is property-tested
+    against the direct whole-document FSM.
+    """
+    merged: List[str] = []
+    open_flag = False
+    for paras, kinds, last_open in metas:
+        if not paras:
+            continue
+        if (
+            merged
+            and open_flag
+            and merged[-1][-1] not in _TERMINAL_CHARS
+            and kinds[0] == "r"
+        ):
+            merged[-1] = merged[-1] + " " + paras[0]
+            merged.extend(paras[1:])
+        else:
+            merged.extend(paras)
+        open_flag = last_open
+    return merged
+
+
+def rebuild_paragraphs(text: str) -> str:
+    """Whole-text paragraph rebuild: FSM core + "\\n\\n" join + ligature
+    repair over the joined string (repair can bridge a split ligature
+    across a paragraph boundary, merging the two blocks — long-standing
+    semantics, preserved)."""
+    raw_lines = text.splitlines()
+    if not raw_lines:
+        return text
+    done, _, _ = rebuild_paragraphs_meta(text)
     return repair_ligatures("\n\n".join(done))
 
 
@@ -245,7 +301,12 @@ def reassemble_paragraphs(
 
     text = text.replace("\r\n", "\n").replace("\r", "\n")
     text = rebuild_paragraphs(text)
+    return flatten_blocks(text, max_sentences)
 
+
+def flatten_blocks(text: str, max_sentences: Optional[int] = None) -> List[str]:
+    """Post-FSM assembly: split the "\\n\\n"-joined rebuilt text into flat
+    single-line paragraphs, optionally sentence-chunked."""
     out: List[str] = []
     for block in text.split("\n\n"):
         # rebuild_paragraphs emits newline-free paragraphs (lines were

@@ -140,3 +140,38 @@ def test_extract_invariant_under_span_order(span_specs, rnd):
     shuffled = list(spans)
     rnd.shuffle(shuffled)
     assert extract_document("d", shuffled) == base
+
+
+# --- whole-doc FSM == per-page FSM + boundary merge --------------------------
+
+_page_lines = st.lists(
+    st.one_of(
+        st.text(alphabet="abcdefgh .!?:;•-–—01239ACZ\n", min_size=0, max_size=24),
+        st.sampled_from([
+            "", "7", "pdf2ocr - Page 3", "CAPITULO UM", "• item", "2. ponto",
+            "ends with fi", "lter tail", "Upper Start.", "lower tail",
+        ]),
+    ),
+    min_size=0, max_size=8,
+)
+_doc_pages = st.lists(_page_lines.map("\n".join), min_size=0, max_size=5)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_doc_pages)
+def test_merge_equals_whole_doc_fsm(pages):
+    """merge_page_paragraphs over per-page FSM runs must reproduce the
+    direct whole-document FSM exactly (the emit fast path depends on it)."""
+    from pdf2ocr_spark.kernel.textproc import (
+        merge_page_paragraphs,
+        rebuild_paragraphs,
+        rebuild_paragraphs_meta,
+        repair_ligatures,
+    )
+
+    direct = rebuild_paragraphs("\n\n".join(pages))
+    metas = [rebuild_paragraphs_meta(p) for p in pages]
+    derived = repair_ligatures("\n\n".join(merge_page_paragraphs(metas)))
+    if not "\n\n".join(pages).splitlines():
+        return  # rebuild_paragraphs returns input verbatim for empty input
+    assert derived == direct
