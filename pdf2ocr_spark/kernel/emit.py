@@ -35,6 +35,7 @@ happens ACROSS documents in the Arrow batch stage that calls this.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 from pdf2ocr_spark.kernel.textproc import (
@@ -58,6 +59,9 @@ TEXT_WRAP_COLUMNS = 95
 
 PAGE_HEADER_TEMPLATE = "pdf2ocr - Page {n}"
 
+#: any whitespace that is not a single plain space (incl. runs of spaces)
+_RE_ODD_WS = re.compile(r"[^\S ]|  ")
+
 SpanRow = Tuple[str, str, Optional[str], Optional[str], int]  # doc_id, kind, text, media_ref, offset
 
 
@@ -66,6 +70,17 @@ def wrap_paragraph(text: str, columns: int = TEXT_WRAP_COLUMNS) -> List[str]:
     next word would exceed ``columns``; an overlong single word occupies its
     own line untruncated.
     """
+    # fast path: an already-normalized paragraph (single plain spaces only,
+    # no edge whitespace — what the FSM emits) that fits the budget IS its
+    # own single line; _RE_ODD_WS rejects any other whitespace or runs
+    if (
+        len(text) <= columns
+        and text
+        and text[0] != " "
+        and text[-1] != " "
+        and not _RE_ODD_WS.search(text)
+    ):
+        return [text]
     lines: List[str] = []
     line = ""
     for word in text.split():
