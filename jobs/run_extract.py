@@ -66,7 +66,11 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    documents = tile_documents(load_documents(spark, args.sf_dir), args.tile)
+    # fan the small relation out BEFORE the tile explode: a single-file
+    # corpus arrives as one scan split and would serialize the expansion
+    # (Amdahl fraction that caps scaling; same move as pipeline.run_pipeline)
+    documents = load_documents(spark, args.sf_dir).repartition(args.partitions)
+    documents = tile_documents(documents, args.tile)
     docs = documents_to_docs(stripe_documents(documents, args.partitions))
     res = run_checkpointed(
         spark,

@@ -30,6 +30,7 @@ visible stragglers and salted repartitioning is observable in the bench.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import Dict, List, Optional
 
 WORDS_PER_SENTENCE = 8
@@ -50,14 +51,43 @@ def _seed_stream(doc_id: str):
         counter += 1
 
 
-def _damage_ligature(word: str, rng) -> str:
+_INV32 = 1.0 / 2**32
+
+
+def _draw_block(doc_id: str, n_digests: int, start_counter: int = 0) -> List[float]:
+    """The first ``4*n_digests`` values of ``_seed_stream(doc_id)`` as a
+    plain list (generator frame switching was ~40% of the whole channel;
+    sequence parity is pinned by test_docgen_draws_match_stream).
+    Multiplying by the exactly-representable 2^-32 equals the stream's
+    division bit-for-bit."""
+    md5 = hashlib.md5
+    frombytes = int.from_bytes
+    out: List[float] = []
+    append = out.append
+    for c in range(start_counter, start_counter + n_digests):
+        h = md5(f"{doc_id}:{c}".encode()).digest()
+        append(frombytes(h[0:4], "big") * _INV32)
+        append(frombytes(h[4:8], "big") * _INV32)
+        append(frombytes(h[8:12], "big") * _INV32)
+        append(frombytes(h[12:16], "big") * _INV32)
+    return out
+
+
+@lru_cache(maxsize=65536)
+def _damage_ligature_word(word: str) -> str:
     """Split the first internal ligature pair ('fi'/'fl'/'ff' followed by a
-    lowercase letter) with a space, the classic OCR artifact."""
+    lowercase letter) with a space, the classic OCR artifact. Pure function
+    of the word (the corpus vocabulary is small -> cached)."""
     for pair in ("fi", "fl", "ff"):
         idx = word.find(pair)
         if idx >= 0 and idx + 2 < len(word) and word[idx + 2].islower():
             return word[: idx + 2] + " " + word[idx + 2 :]
     return word
+
+
+def _damage_ligature(word: str, rng) -> str:
+    """Back-compat wrapper (the rng argument was never used)."""
+    return _damage_ligature_word(word)
 
 
 def heavy_factor(doc_id: str) -> int:
@@ -72,18 +102,32 @@ def heavy_factor(doc_id: str) -> int:
 
 def build_spans(doc_id: str, text: str, source: str) -> List[Dict]:
     """Build one document's interleaved span array from its clean text."""
-    rng = _seed_stream(doc_id)
     words = (text or "").split()
     if not words:
         return []
     words = words * heavy_factor(doc_id)
 
+    # draw budget (exact upper bound): 1/word (damage), <=4/sentence
+    # (break + cut + stray blank + real break), 1/page (media); one md5
+    # block pass generates the same value sequence as _seed_stream
+    n_words = len(words)
+    n_sent = (n_words + WORDS_PER_SENTENCE - 1) // WORDS_PER_SENTENCE
+    n_pg = (n_sent + SENTENCES_PER_PAGE - 1) // SENTENCES_PER_PAGE
+    need = n_words + 4 * n_sent + n_pg + 4
+    draws = _draw_block(doc_id, (need + 3) // 4)
+    di = 0
+
     # --- clean sentences: fixed-width word chunks, capitalized, period-closed
+    damage = _damage_ligature_word
     sentences = []
-    for i in range(0, len(words), WORDS_PER_SENTENCE):
+    for i in range(0, n_words, WORDS_PER_SENTENCE):
         chunk = words[i : i + WORDS_PER_SENTENCE]
-        chunk = [_damage_ligature(w, rng) if next(rng) < 0.35 else w for w in chunk]
-        sent = " ".join(chunk)
+        out_chunk = []
+        for w in chunk:
+            v = draws[di]
+            di += 1
+            out_chunk.append(damage(w) if v < 0.35 else w)
+        sent = " ".join(out_chunk)
         sentences.append(sent[:1].upper() + sent[1:] + ".")
 
     header = f"Journal of {source}"
@@ -105,21 +149,32 @@ def build_spans(doc_id: str, text: str, source: str) -> List[Dict]:
         lines = [header]
         for sent in page_sents:
             ws = sent.split(" ")
-            if len(ws) > 3 and next(rng) < 0.7:
+            if len(ws) > 3:
+                v = draws[di]
+                di += 1
+                do_break = v < 0.7
+            else:
+                do_break = False
+            if do_break:
                 # visual line break mid-sentence
-                cut = 1 + int(next(rng) * (len(ws) - 2))
+                cut = 1 + int(draws[di] * (len(ws) - 2))
+                di += 1
                 lines.append(" ".join(ws[:cut]))
-                if next(rng) < 0.25:
+                if draws[di] < 0.25:
                     lines.append("")  # stray blank line inside a sentence
+                di += 1
                 lines.append(" ".join(ws[cut:]))
             else:
                 lines.append(sent)
-            if next(rng) < 0.3:
+            if draws[di] < 0.3:
                 lines.append("")  # blank line after sentence end: real break
+            di += 1
         lines.append(str(page_no))  # page-number footer line
         add("page", "\n".join(lines), None)
 
-        if next(rng) < MEDIA_RATE:
+        mdraw = draws[di]
+        di += 1
+        if mdraw < MEDIA_RATE:
             add("media", None, f"media://{doc_id}/{media_no}")
             media_no += 1
 

@@ -175,3 +175,15 @@ def test_merge_equals_whole_doc_fsm(pages):
     if not "\n\n".join(pages).splitlines():
         return  # rebuild_paragraphs returns input verbatim for empty input
     assert derived == direct
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="abc123", min_size=0, max_size=8), st.integers(1, 200))
+def test_docgen_draws_match_stream(doc_id, n):
+    """_draw_block must reproduce _seed_stream's value sequence exactly —
+    the corpus identity across rounds depends on it."""
+    from pdf2ocr_spark.kernel.docgen import _draw_block, _seed_stream
+
+    gen = _seed_stream(doc_id)
+    block = _draw_block(doc_id, (n + 3) // 4)
+    assert [next(gen) for _ in range(n)] == block[:n]
