@@ -123,6 +123,77 @@ def equalize(img: np.ndarray) -> np.ndarray:
     return lut[img]
 
 
+def clahe(
+    img: np.ndarray,
+    kernel_size: int = None,
+    clip_limit: float = 0.01,
+    nbins: int = 256,
+) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization — the PROPER
+    implementation of the §2.3 adaptive-contrast slot (reference
+    ocr.py:122-135 calls skimage.exposure.equalize_adapthist with
+    kernel_size=max(32, h//16), clip_limit=0.01, nbins=256; this is the
+    standard tiled CLAHE with uniform excess redistribution and bilinear
+    interpolation between tile mappings, written in numpy).
+
+    The default preprocess chain intentionally keeps the reference's own
+    no-skimage fallback (autocontrast(cutoff=1)) because this container
+    HAS no skimage — matching what the reference itself computes here —
+    and because global equalization families destroy the ink/paper
+    separation the deterministic decoder depends on; pass
+    ``adaptive=True`` to :func:`preprocess_page` to run this instead.
+    """
+    h, w = img.shape
+    ks = kernel_size or max(32, h // 16)
+    nty = max(1, (h + ks - 1) // ks)
+    ntx = max(1, (w + ks - 1) // ks)
+
+    # per-tile clipped-histogram mappings -> (nty, ntx, nbins) LUT
+    luts = np.empty((nty, ntx, nbins), dtype=np.float64)
+    scale = (nbins - 1) / 255.0
+    binned = (img.astype(np.float64) * scale + 0.5).astype(np.int64)
+    for ty in range(nty):
+        y0, y1 = ty * ks, min((ty + 1) * ks, h)
+        for tx in range(ntx):
+            x0, x1 = tx * ks, min((tx + 1) * ks, w)
+            tile = binned[y0:y1, x0:x1]
+            hist = np.bincount(tile.ravel(), minlength=nbins).astype(np.float64)
+            n = tile.size
+            clip = max(1.0, clip_limit * n)
+            excess = np.maximum(hist - clip, 0.0).sum()
+            hist = np.minimum(hist, clip) + excess / nbins
+            cdf = np.cumsum(hist)
+            luts[ty, tx] = cdf / cdf[-1] * 255.0
+
+    # bilinear interpolation between the 4 surrounding tile centers
+    ys = np.arange(h, dtype=np.float64)
+    xs = np.arange(w, dtype=np.float64)
+    fy = np.clip((ys - ks / 2.0) / ks, 0.0, nty - 1.0)
+    fx = np.clip((xs - ks / 2.0) / ks, 0.0, ntx - 1.0)
+    ty0 = np.floor(fy).astype(np.int64)
+    tx0 = np.floor(fx).astype(np.int64)
+    ty1 = np.minimum(ty0 + 1, nty - 1)
+    tx1 = np.minimum(tx0 + 1, ntx - 1)
+    wy = (fy - ty0)[:, None]
+    wx = (fx - tx0)[None, :]
+
+    ty0c = ty0[:, None]
+    ty1c = ty1[:, None]
+    tx0r = tx0[None, :]
+    tx1r = tx1[None, :]
+    v00 = luts[ty0c, tx0r, binned]
+    v01 = luts[ty0c, tx1r, binned]
+    v10 = luts[ty1c, tx0r, binned]
+    v11 = luts[ty1c, tx1r, binned]
+    out = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
 def sharpen(img: np.ndarray, factor: float) -> np.ndarray:
     """PIL ImageEnhance.Sharpness-style: blend toward a 3x3 smoothed copy
     (factor>1 sharpens). Reference uses 1.2 (ocr.py:143-145)."""
@@ -166,13 +237,18 @@ def otsu_threshold(img: np.ndarray) -> int:
     return int(np.nanargmax(sigma_b))
 
 
-def preprocess_page(img: np.ndarray) -> np.ndarray:
+def preprocess_page(img: np.ndarray, adaptive: bool = False) -> np.ndarray:
     """The full chain with both reference guards (ocr.py:170-184): if the
     result collapses (std < 10) revert to the Step-1 array (grayscale +
     autocontrast + median — ocr.py:93-98 keeps exactly that as
     ``original_array``); if any step raises, revert to Step-1 and apply the
     reference's exception fallback on top (autocontrast(cutoff=2) +
-    median, ocr.py:176-184)."""
+    median, ocr.py:176-184).
+
+    ``adaptive=True`` runs the real CLAHE in the Step-3 slot (what the
+    reference computes when skimage is importable, ocr.py:122-135);
+    the default keeps the reference's own ImportError fallback — see
+    :func:`clahe`."""
     gray = to_grayscale(img)
     step1 = median3(autocontrast(gray))
     try:
@@ -183,7 +259,7 @@ def preprocess_page(img: np.ndarray) -> np.ndarray:
         # standalone op but is NOT in the chain: global equalization of a
         # mostly-paper page amplifies paper noise to full range and
         # destroys the ink/paper separation every binarizer depends on.
-        out = autocontrast(out, cutoff=1)
+        out = clahe(out) if adaptive else autocontrast(out, cutoff=1)
         out = sharpen(out, 1.2)
         out = contrast(out, 1.1)
         out = unsharp_mask(out, 1.0, 0.2)

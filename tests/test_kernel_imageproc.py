@@ -164,3 +164,61 @@ class TestDpiAndBatching:
         w = batched.sort_values("doc_id").reset_index(drop=True)
         assert (b == w).all().all()
         assert (b["recovered_matches"] == b["page_count"]).all()
+
+
+class TestClahe:
+    """Real CLAHE for the §2.3 adaptive-contrast slot (ref ocr.py:122-135
+    parameters; the default chain keeps the reference's no-skimage
+    fallback — see imageproc.clahe docstring)."""
+
+    def test_boosts_low_contrast_and_deterministic(self):
+        import numpy as np
+
+        from pdf2ocr_spark.kernel.imageproc import clahe
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(90, 140, size=(200, 300)).astype(np.uint8)
+        out = clahe(img)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert out.std() > img.std()
+        assert (clahe(img) == out).all()
+
+    def test_flat_image_stays_flat(self):
+        import numpy as np
+
+        from pdf2ocr_spark.kernel.imageproc import clahe
+
+        flat = np.full((100, 100), 128, np.uint8)
+        assert np.unique(clahe(flat)).size <= 3
+
+    def test_clip_limit_bounds_amplification(self):
+        import numpy as np
+
+        from pdf2ocr_spark.kernel.imageproc import clahe
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(100, 130, size=(128, 128)).astype(np.uint8)
+        conservative = clahe(img, clip_limit=0.01)
+        aggressive = clahe(img, clip_limit=1.0)  # = unclipped AHE
+        assert conservative.std() <= aggressive.std()
+
+    @pytest.mark.parametrize(
+        "text",
+        [
+            "Hello World.",
+            "A efi cacia da refl exao fi losofi ca.",
+            "the quick brown fox jumps over the lazy dog 0123456789",
+        ],
+    )
+    def test_adaptive_chain_roundtrip(self, text):
+        """The decoder survives the CLAHE chain (locally monotone mapping
+        keeps ink below the border-paper threshold)."""
+        from pdf2ocr_spark.kernel.imageproc import preprocess_page
+        from pdf2ocr_spark.kernel.rasterocr import (
+            decode_page,
+            rebuild_wrapped,
+            render_page,
+        )
+
+        dec = decode_page(preprocess_page(render_page(text), adaptive=True))
+        assert rebuild_wrapped(text, dec) == text
