@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-sentences", type=int, default=0)
     ap.add_argument("--no-resume", action="store_true")
+    # reference logging_config.py surface: --quiet silences everything but
+    # the final JSON (Spark log level ERROR), --summary skips the per-run
+    # aggregate block and reports only the partition counters
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--summary-only", action="store_true")
     args = ap.parse_args()
 
     # validate job args driver-side before any Spark action (SURVEY §2.8;
@@ -56,6 +61,8 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("pdf2ocr_spark-extract").getOrCreate()
+    if args.quiet:
+        spark.sparkContext.setLogLevel("ERROR")
 
     from pdf2ocr_spark.operators.checkpoint import run_checkpointed, summary
     from pdf2ocr_spark.operators.docgen import documents_to_docs
@@ -85,7 +92,7 @@ def main() -> None:
     wall = time.perf_counter() - t0
 
     stats = {}
-    if res["processed"] > 0 or res["skipped"] > 0:
+    if not args.summary_only and (res["processed"] > 0 or res["skipped"] > 0):
         row = summary(spark, args.output).collect()[0]
         stats = row.asDict()
 
