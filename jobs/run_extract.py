@@ -36,6 +36,13 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-sentences", type=int, default=0)
     ap.add_argument("--no-resume", action="store_true")
+    # the raster/OCR stage is the only consumer of --dpi/--batch-size
+    # (they control page-bitmap geometry and the per-doc render window);
+    # it is opt-in because the text pipeline never renders pages
+    ap.add_argument("--ocr-stats", action="store_true",
+                    help="also run the rasterize+OCR round-trip stage and "
+                         "write per-doc recovery stats to <output>/ocr_stats")
+    ap.add_argument("--ocr-max-pages", type=int, default=4)
     # reference logging_config.py surface: --quiet silences everything but
     # the final JSON (Spark log level ERROR), --summary skips the per-run
     # aggregate block and reports only the partition counters
@@ -57,6 +64,17 @@ def main() -> None:
         batch_size=args.batch_size,
         max_sentences=args.max_sentences,
     )
+
+    if not args.ocr_stats and (args.batch_size is not None or args.dpi != 400):
+        # don't let operators think the text pipeline bounds bitmap memory:
+        # only the raster stage consumes these knobs
+        import sys
+
+        print(
+            "warning: --dpi/--batch-size only affect the raster/OCR stage; "
+            "pass --ocr-stats to run it (the text pipeline renders no pages)",
+            file=sys.stderr,
+        )
 
     from pyspark.sql import SparkSession
 
@@ -89,6 +107,28 @@ def main() -> None:
         max_sentences=cfg.max_sentences,
         resume=not args.no_resume,
     )
+    ocr = {}
+    if args.ocr_stats:
+        from pyspark.sql import functions as F
+
+        from pdf2ocr_spark.operators.ocr import ocr_recover_stats
+
+        st = ocr_recover_stats(
+            docs,
+            max_pages_per_doc=args.ocr_max_pages,
+            dpi=cfg.dpi,
+            batch_size=cfg.batch_size,
+        )
+        st.write.mode("overwrite").parquet(f"{args.output}/ocr_stats")
+        row = (
+            spark.read.parquet(f"{args.output}/ocr_stats")
+            .agg(
+                F.sum("page_count").alias("pages_ocrd"),
+                F.sum("recovered_matches").alias("pages_recovered"),
+            )
+            .collect()[0]
+        )
+        ocr = {"dpi": cfg.dpi, "batch_size": cfg.batch_size, **row.asDict()}
     wall = time.perf_counter() - t0
 
     stats = {}
@@ -96,7 +136,10 @@ def main() -> None:
         row = summary(spark, args.output).collect()[0]
         stats = row.asDict()
 
-    print(json.dumps({"result": res, "wall_sec": round(wall, 3), "summary": stats}))
+    out = {"result": res, "wall_sec": round(wall, 3), "summary": stats}
+    if ocr:
+        out["ocr"] = ocr
+    print(json.dumps(out))
     spark.stop()
 
 

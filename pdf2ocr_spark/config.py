@@ -15,6 +15,8 @@ Validation runs driver-side before any Spark action (SURVEY.md §2.8).
 
 from __future__ import annotations
 
+import re
+import warnings
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -34,6 +36,10 @@ TESS_TO_CALIBRE = [
 ]
 
 SUPPORTED_LANGS = frozenset(t for t, _ in TESS_TO_CALIBRE)
+
+#: tesseract traineddata naming shape: 3-letter ISO-639-2 base plus an
+#: optional script/variant suffix ('chi_sim', 'aze_cyrl', 'frk')
+_TESS_CODE_SHAPE = re.compile(r"^[a-z]{3}(_[a-z]+)?$")
 
 
 class ConfigError(ValueError):
@@ -71,11 +77,30 @@ class ExtractConfig:
                     "at least one output format is required (ref config.py:96-112)"
                 )
 
-        if self.lang not in SUPPORTED_LANGS:
+        # The reference validates --lang against the INSTALLED model list
+        # (`tesseract --list-langs`), accepting any installed code including
+        # '+'-joined combos like 'por+eng' (ref ocr.py:450-493). The engine's
+        # analogue: codes in TESS_TO_CALIBRE are fully known; any other
+        # tesseract-SHAPED code (3-letter base, optional _script suffix,
+        # '+'-combinable) is accepted with a warning (the engine has no
+        # per-language behavior beyond the 'por' charset clean and the epub
+        # map, which defaults unknown codes to English — ref epub.py:86);
+        # malformed codes still fail fast like the reference's typo check.
+        for part in self.lang.split("+"):
+            if part in SUPPORTED_LANGS:
+                continue
+            if _TESS_CODE_SHAPE.match(part):
+                warnings.warn(
+                    f"OCR language {part!r} is outside the engine's known map "
+                    f"{sorted(SUPPORTED_LANGS)}; accepted (no language-specific "
+                    "behavior; epub lang maps to 'en' — ref epub.py:86)",
+                    stacklevel=2,
+                )
+                continue
             raise ConfigError(
-                f"unsupported OCR language {self.lang!r}; supported: "
-                f"{sorted(SUPPORTED_LANGS)} (ref ocr.py:450-493 validates "
-                "against `tesseract --list-langs`)"
+                f"unsupported OCR language {part!r}; known: "
+                f"{sorted(SUPPORTED_LANGS)} or any tesseract-shaped code "
+                "(ref ocr.py:450-493 validates against `tesseract --list-langs`)"
             )
         if not 72 <= self.dpi <= 1200:
             raise ConfigError("dpi must be within [72, 1200] (ref main.py:166-168)")

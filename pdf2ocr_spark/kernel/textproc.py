@@ -116,6 +116,8 @@ def _looks_like_heading(line: str) -> bool:
 
 
 def _looks_like_list_item(line: str) -> bool:
+    if not line:
+        return False
     c0 = line[0]
     if c0 in _BULLET_CHARS:
         return True

@@ -148,6 +148,16 @@ def run_checkpointed(
 
     tagged = docs.withColumn("part_id", stable_part_id(num_partitions))
 
+    if not resume:
+        # a fresh (non-resume) run must not inherit stale state: dynamic
+        # partition overwrite preserves partitions this run never writes,
+        # which would both leak old spans into read_spans() and inflate the
+        # processed count (stale lineage rows read back as "present");
+        # local-FS delete here — an object-store deployment would drop the
+        # table / prefix through its catalog instead
+        import shutil
+
+        shutil.rmtree(os.path.join(output_dir, "combined"), ignore_errors=True)
     done = _completed_partitions(spark, output_dir) if resume else set()
     if done:
         tagged = tagged.where(~F.col("part_id").isin(list(done)))

@@ -127,3 +127,27 @@ def test_completed_job_is_noop(spark, docs, outdir):
     run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
     res = run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
     assert res == {"partitions": N_PARTS, "skipped": N_PARTS, "processed": 0}
+
+
+def test_no_resume_clears_stale_state(spark, docs, outdir):
+    """resume=False on a pre-populated output dir must neither inherit
+    stale spans nor count stale lineage rows as this run's work: a full
+    8-partition run followed by a fresh (no-resume) run over a SUBSET
+    reporting only the partitions the subset actually hit."""
+    run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
+
+    part = stable_part_id(N_PARTS)
+    subset = docs.withColumn("pid", part).where(F.col("pid") < 3).drop("pid")
+    res = run_checkpointed(
+        spark, subset, outdir, num_partitions=N_PARTS, resume=False
+    )
+    # only the 3 partitions the subset populated count as processed —
+    # the stale 8-partition state must not inflate the number
+    assert res["skipped"] == 0
+    assert res["processed"] == 3
+
+    # and the output contains ONLY the fresh run's spans
+    spans = read_spans(spark, outdir).toPandas()
+    subset_ids = {r["doc_id"] for r in subset.select("doc_id").collect()}
+    assert set(spans["doc_id"]) <= subset_ids
+    assert len(read_lineage(spark, outdir).toPandas()) == 3

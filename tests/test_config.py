@@ -73,3 +73,25 @@ def test_unsupported_lang_rejected():
 @pytest.mark.parametrize("lang", ["eng", "por", "deu", "chi_sim"])
 def test_supported_langs_accepted(lang):
     assert ExtractConfig(lang=lang).lang == lang
+
+
+@pytest.mark.parametrize("lang", ["ara", "ell", "aze_cyrl"])
+def test_tesseract_shaped_lang_accepted_with_warning(lang):
+    # ref ocr.py:450-493 accepts any INSTALLED model, not a fixed list;
+    # shaped-but-unmapped codes warn instead of failing
+    with pytest.warns(UserWarning, match="outside the engine's known map"):
+        assert ExtractConfig(lang=lang).lang == lang
+
+
+def test_multi_lang_combo_accepted():
+    # reference supports `-l por+eng` combos (every part validated)
+    assert ExtractConfig(lang="por+eng").lang == "por+eng"
+    with pytest.raises(ConfigError):
+        ExtractConfig(lang="por+porr")
+
+
+def test_empty_line_not_list_item():
+    from pdf2ocr_spark.kernel.textproc import _looks_like_list_item
+
+    assert _looks_like_list_item("") is False
+    assert _looks_like_list_item("• item") is True
