@@ -23,8 +23,6 @@ hot-shingle caps are applied below (shingle DF filtered to df < MAX_DF).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
@@ -231,20 +229,34 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
     runtime reuses a single scan+explode evaluation; a window-count
     formulation was tried and rejected — it forces two full sorts of the
     exploded shingle-string relation and measured ~35% slower than the
-    hash-aggregate shape."""
+    hash-aggregate shape.
+
+    The hot cap is applied as a broadcast ANTI-join against the tiny HOT
+    set plus an explicit repartition("shingle") feeding the self-join
+    (round-3 rebuild, measured at sf0.1/local[32]): the round-2 form
+    inner-joined the index with the large `rare` relation (one full
+    index exchange, 5.7s warm); a bare anti-join without the repartition
+    is WORSE (the self-join then re-exchanges both sides, 5.8s+ with
+    broadcast-barrier variance); anti-join + one explicit exchange that
+    BOTH self-join sides reuse runs 2.7-3.9s warm."""
     docs = _fan_out(with_near_dup_corpus(documents))
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
-    rare = (
+    # hot-shingle cap as a broadcast ANTI-join: the HOT set (df >
+    # MAX_SHINGLE_DF) is tiny and bounded (at most total_occurrences/MAX_DF
+    # distinct shingles), so it broadcasts; the inverted index itself never
+    # shuffles for the filter. The complementary inner-join-with-rare form
+    # exchanged the full index by shingle string — one large shuffle more.
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= MAX_SHINGLE_DF)
+        .where(F.col("df") > MAX_SHINGLE_DF)
         .select("shingle")
     )
-    sh = sh.join(rare, "shingle")
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").repartition("shingle")
 
     inter = (
         sh.alias("x")
@@ -277,55 +289,53 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     bits (distinct tokens, unweighted; bits 0..31 from md5(tok), 32..62
     from md5(tok+'#2') — identical to the DuckDB oracle's arithmetic).
 
-    Computed per-row in an Arrow-batched scalar ``pandas_udf`` with numpy
-    ``unpackbits`` — zero shuffle, fused into the scan. Round 1 exploded
-    tokens x 63 bits and shuffled the bits relation (63x amplification of
-    the token relation — the scale killer). The pure-Catalyst per-row
-    alternative (63 nested ``aggregate`` folds) runs INTERPRETED inside
-    higher-order functions and measured 5.7s at sf0.1/local[32] vs 1.2s
-    for this vectorized kernel (and 2.4s for the round-1 exploded plan),
-    so this is the rare case where the Pandas-UDF path beats the built-in
-    expression path outright.
+    Work split (the same JVM/numpy split that won for minhash, see
+    minhash_signatures): the per-token md5s run JVM-side as codegen'd
+    column expressions producing TWO hash arrays per row — as the sole
+    inputs of a UDF they are evaluated exactly once (collapse-proof) and
+    no md5 ever runs in Python; the pandas_udf then does only the math,
+    batch-vectorized over the WHOLE Arrow batch: one ``unpackbits`` over
+    all tokens of all rows, one ``add.reduceat`` per-row bit-sum. Zero
+    shuffle, fused into the scan. (Round 1 exploded tokens x 63 bits and
+    shuffled the bits relation — 63x amplification, the scale killer;
+    the round-2 kernel hashed per-token in a Python loop.)
     """
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    h1s = F.transform(toks, lambda t: base_hash(t))
+    h2s = F.transform(toks, lambda t: base_hash(F.concat(t, F.lit("#2"))))
+
     @F.pandas_udf("long")
-    def simhash_np(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        md5 = hashlib.md5
-        powers = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
-        for i, text in enumerate(texts):
-            toks = list(dict.fromkeys((text or "").split(" ")))
-            n = len(toks)
-            h1 = np.fromiter(
-                (int.from_bytes(md5(t.encode()).digest()[:4], "big") for t in toks),
-                dtype=np.uint32,
-                count=n,
-            )
-            h2 = np.fromiter(
-                (
-                    int.from_bytes(md5((t + "#2").encode()).digest()[:4], "big")
-                    for t in toks
-                ),
-                dtype=np.uint32,
-                count=n,
-            )
-            # little-endian bit order per 32-bit hash: column b holds bit b
-            b1 = np.unpackbits(
-                h1.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
-            )[:, ::-1]
-            b2 = np.unpackbits(
-                h2.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
-            )[:, ::-1]
-            ones = np.concatenate([b1, b2[:, : SIMHASH_BITS - 32]], axis=1).sum(
-                axis=0
-            )
-            s = 2 * ones.astype(np.int64) - n  # sum of (+-1) per bit
-            out[i] = int(powers[s > 0].sum())
-        return pd.Series(out)
+    def simhash_np(h1ss: pd.Series, h2ss: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(h) for h in h1ss), dtype=np.int64, count=len(h1ss))
+        if len(lens) == 0:
+            return pd.Series([], dtype=np.int64)
+        flat1 = np.concatenate([np.asarray(h, dtype=np.int64) for h in h1ss]).astype(
+            np.uint32
+        )
+        flat2 = np.concatenate([np.asarray(h, dtype=np.int64) for h in h2ss]).astype(
+            np.uint32
+        )
+        # little-endian bit order per 32-bit hash: column b holds bit b
+        b1 = np.unpackbits(
+            flat1.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
+        )[:, ::-1]
+        b2 = np.unpackbits(
+            flat2.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
+        )[:, ::-1]
+        bits = np.concatenate([b1, b2[:, : SIMHASH_BITS - 32]], axis=1)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+        s = 2 * ones - lens[:, None]  # sum of (+-1) per bit, per row
+        powers = (np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)).astype(
+            np.int64
+        )
+        return pd.Series(((s > 0) * powers).sum(axis=1))
 
     # fan out before hashing: a single-split input would serialize the
     # kernel (see _fan_out; no-op cost at production split counts)
     docs = _fan_out(with_near_dup_corpus(documents))
-    return docs.select("doc_id", simhash_np("text").alias("simhash"))
+    return docs.select("doc_id", simhash_np(h1s, h2s).alias("simhash"))
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:

@@ -45,6 +45,68 @@ def test_ivf_recall(recall_inputs):
     assert r >= 0.15, f"IVF recall@5 regressed: {r:.3f}"
 
 
+def test_ivf_scales_to_k256(spark):
+    """Round-3 scale gate: IVF at K=256 cells over a 2,000-vector synthetic
+    corpus — the centroid matrix ships in the UDF closure (broadcast-var
+    style), NOT as a plan literal, so the plan stays compact and the probe
+    join is a BroadcastHashJoin on cell id. Results are checked against a
+    numpy reference computing the same assignment + per-cell exact top-k."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdf2ocr_spark.functions.similarity import (
+        N_QUERIES,
+        QUERY_STRIDE,
+        TOP_K,
+        ivf_topk,
+    )
+
+    n, dim, k_cells = 2000, 64, 256
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+    out = ivf_topk(emb, n_cells=k_cells)
+
+    # plan audit: no literal explosion (the K=256 x 64-dim matrix would be
+    # ~16k inlined literals), probe join broadcasts
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert len(plan) < 50_000, f"plan blew up to {len(plan)} chars"
+
+    pdf = out.toPandas()
+
+    # numpy reference: same sequential-fold assignment + per-cell topk
+    E = vecs.astype(np.float64)
+    C = E[:k_cells]
+    acc = np.zeros((n, k_cells))
+    for d in range(dim):
+        acc += E[:, d : d + 1] * C[None, :, d]
+    cells = np.argmax(acc, axis=1)
+    nrm = np.sqrt((E * E).sum(axis=1))
+    qids = [i for i in range(n) if i % QUERY_STRIDE == 0 and i < QUERY_STRIDE * N_QUERIES]
+    def sdot(a, b):  # the engines' sequential fold, not BLAS (ulp-exact)
+        s = 0.0
+        for d in range(dim):
+            s += a[d] * b[d]
+        return s
+
+    expect = {}
+    for q in qids:
+        cand = [j for j in range(n) if cells[j] == cells[q] and j != q]
+        scores = sorted(
+            (sdot(E[q], E[j]) / (nrm[q] * nrm[j]), -j) for j in cand
+        )[::-1][:TOP_K]
+        expect[q] = [-j for _, j in scores]
+    for q, grp in pdf.groupby("query_id"):
+        got = list(grp.sort_values("rank")["neighbor_id"])
+        assert got == expect[q], f"query {q}: {got} != {expect[q]}"
+    assert set(pdf["query_id"]) == {q for q in qids if expect[q]}
+
+
 def test_approx_results_subset_of_corpus(recall_inputs, spark):
     """Structural sanity: every approximate neighbor is a real vec_id and
     never the query itself; ranks are 1..k dense per query."""
