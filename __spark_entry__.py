@@ -59,12 +59,26 @@ def _q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ocr_recover_stats(docs, max_pages_per_doc=2)
 
 
+def _q_ocr_roundtrip_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round trip with the REAL tiled CLAHE in the Step-3 contrast
+    slot (kernel/imageproc.clahe — what the reference computes with
+    skimage installed, ref ocr.py:122-135); rows-only, self-validating
+    via recovered_matches == page_count."""
+    from pyspark.sql import functions as F
+
+    from pdf2ocr_spark.operators.ocr import ocr_recover_stats
+
+    docs = load_docs_corpus(spark, sf_dir).where(F.col("doc_id").cast("long") < 50)
+    return ocr_recover_stats(docs, max_pages_per_doc=2, adaptive=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["extract_pipeline"] = _q_extract_pipeline
     out["docs_corpus"] = _q_docs_corpus
     out["ocr_roundtrip"] = _q_ocr_roundtrip
+    out["ocr_roundtrip_adaptive"] = _q_ocr_roundtrip_adaptive
     out["media_features"] = _q_media_features
     out["extract_pipeline_paged"] = _q_extract_paged
     return out

@@ -35,6 +35,7 @@ def ocr_recover_stats(
     max_pages_per_doc: int = 4,
     dpi: int = None,
     batch_size: int = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Run the OCR round trip over (a bounded number of) pages per doc and
     report per-doc recovery stats. Bounding keeps the demo query cheap;
@@ -45,7 +46,11 @@ def ocr_recover_stats(
     pages are rendered window by window into pre-allocated slots and each
     window's bitmaps are freed before the next renders, so peak bitmap
     memory per task is O(batch_size), not O(pages) — the heavy-doc-tail
-    control at scale."""
+    control at scale.
+    ``adaptive`` runs the real tiled CLAHE in the Step-3 contrast slot
+    (kernel/imageproc.clahe; what the reference computes WITH skimage
+    installed, ref ocr.py:122-135) instead of the reference's no-skimage
+    autocontrast fallback."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdf2ocr_spark.kernel.imageproc import preprocess_page
@@ -75,7 +80,11 @@ def ocr_recover_stats(
                     ]
                     for i, img in enumerate(bitmaps, start=start):
                         recovered[i] = rebuild_wrapped(
-                            pages[i], decode_page(preprocess_page(img), dpi=eff_dpi)
+                            pages[i],
+                            decode_page(
+                                preprocess_page(img, adaptive=adaptive),
+                                dpi=eff_dpi,
+                            ),
                         )
                     del bitmaps  # free the window before the next renders
                 matches = sum(1 for p, r in zip(pages, recovered) if p == r)

@@ -48,6 +48,17 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared derived relations (Spark side)
 # --------------------------------------------------------------------------
 
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition before a per-row expansion: the sandbox
+    corpus is ONE parquet file -> one scan split, which serializes the
+    whole line derivation on a single core (measured: every line query's
+    generate stage ran 1 task at local[32]). At production scale the table
+    has thousands of splits and this exchange moves each small source row
+    once — the same move as functions/dedup._fan_out."""
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(n)
+
+
 def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
@@ -77,7 +88,7 @@ def _body_lines(docs: DataFrame) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.explode(lines_arr).alias("ln"))
+        _fan_out(docs).select("doc_id", F.explode(lines_arr).alias("ln"))
         .select("doc_id", "ln.page_id", "ln.line_no", "ln.line_text")
     )
 
@@ -122,7 +133,7 @@ def _all_lines(docs: DataFrame) -> DataFrame:
             ),
         )
     )
-    return docs.select(
+    return _fan_out(docs).select(
         "doc_id", F.explode(F.concat(body, edges)).alias("ln")
     ).select("doc_id", "ln.page_id", "ln.line_no", "ln.line_text")
 

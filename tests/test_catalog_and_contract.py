@@ -33,6 +33,85 @@ def test_catalog_parquet_roundtrip(spark, cat):
     assert cat.use_iceberg is False  # sandbox has no Iceberg jars
 
 
+class _RecordingWriter:
+    """writeTo() writer double recording the V2 calls Catalog makes."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def overwritePartitions(self):
+        self.log.append("overwritePartitions")
+
+    def createOrReplace(self):
+        self.log.append("createOrReplace")
+
+
+class _FakeIcebergSession:
+    class _Conf:
+        def get(self, key, default=None):
+            if key == "spark.sql.extensions":
+                return (
+                    "org.apache.iceberg.spark.extensions."
+                    "IcebergSparkSessionExtensions"
+                )
+            return default
+
+    class _Read:
+        def __init__(self, log):
+            self.log = log
+
+        def table(self, ident):
+            self.log.append(("read.table", ident))
+            return f"df:{ident}"
+
+    class _Catalog:
+        def __init__(self, log):
+            self.log = log
+
+        def tableExists(self, ident):
+            self.log.append(("tableExists", ident))
+            return True
+
+    def __init__(self):
+        self.log = []
+        self.conf = self._Conf()
+        self.read = self._Read(self.log)
+        self.catalog = self._Catalog(self.log)
+
+
+class _FakeDF:
+    def __init__(self, log):
+        self.log = log
+
+    def writeTo(self, ident):
+        self.log.append(("writeTo", ident))
+        return _RecordingWriter(self.log)
+
+
+def test_catalog_iceberg_branch_contract():
+    """The Iceberg branch cannot execute in-sandbox (no jars), so its
+    identifier and overwrite semantics are pinned against recorded-call
+    fakes: writeTo(<db>.<name>).overwritePartitions() for checkpointed
+    partition overwrite, .createOrReplace() otherwise, read via
+    spark.read.table(<db>.<name>) — a typo in the branch fails here."""
+    spark = _FakeIcebergSession()
+    cat = Catalog(spark, root="/unused", database="prod.db")
+    assert cat.use_iceberg is True
+
+    assert cat.read_table("docs") == "df:prod.db.docs"
+    assert spark.log[-1] == ("read.table", "prod.db.docs")
+
+    df = _FakeDF(spark.log)
+    cat.write_table(df, "spans_out", overwrite_partitions=True)
+    assert spark.log[-2:] == [("writeTo", "prod.db.spans_out"), "overwritePartitions"]
+
+    cat.write_table(df, "lineage")
+    assert spark.log[-2:] == [("writeTo", "prod.db.lineage"), "createOrReplace"]
+
+    assert cat.table_exists("docs") is True
+    assert spark.log[-1] == ("tableExists", "prod.db.docs")
+
+
 def test_catalog_partition_overwrite_idempotent(spark, cat):
     from pyspark.sql import functions as F
 

@@ -119,6 +119,22 @@ def test_spark_ocr_stage(spark, sf_dir):
     assert (stats["recovered_matches"] == stats["page_count"]).all()
 
 
+def test_spark_ocr_stage_adaptive_clahe(spark, sf_dir):
+    """End-to-end adaptive variant (registered as ocr_roundtrip_adaptive):
+    the real tiled CLAHE runs in the Step-3 slot and the round trip stays
+    exact — CLAHE remaps values but preserves the ink/paper rank structure
+    the decoder thresholds on."""
+    from pyspark.sql import functions as F
+
+    from pdf2ocr_spark.operators.ocr import ocr_recover_stats
+    from pdf2ocr_spark.pipeline import load_docs_corpus
+
+    docs = load_docs_corpus(spark, sf_dir).where(F.col("doc_id").cast("long") < 20)
+    stats = ocr_recover_stats(docs, max_pages_per_doc=2, adaptive=True).toPandas()
+    assert len(stats) == 20
+    assert (stats["recovered_matches"] == stats["page_count"]).all()
+
+
 class TestDpiAndBatching:
     """--dpi and --batch-size threading (ref ocr.py:40 zoom matrix;
     ref ocr.py:393-433 page-window batching, ranges pinned by
