@@ -73,6 +73,31 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
+# minhash pairs -> connected components (min reachable doc_id per node)
+# via a recursive transitive-closure CTE: the oracle twin of the Spark
+# min-label-propagation loop (functions/dedup.py connected_components) —
+# both converge to the unique component-min labeling.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DEDUP_MINHASH}),
+edges AS (
+    SELECT doc_a AS node, doc_b AS nbr FROM pairs
+    UNION
+    SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, lab) AS (
+    SELECT node, node FROM edges
+    UNION
+    SELECT e.node, r.lab FROM edges e JOIN reach r ON e.nbr = r.node
+),
+comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+sizes AS (
+    SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT comp.node AS doc_id, comp.cluster_id, sizes.cluster_size,
+       comp.node = comp.cluster_id AS is_keeper
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SQL_CORPUS}, {_SQL_SHINGLES},
 sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),

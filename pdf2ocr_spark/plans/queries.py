@@ -658,6 +658,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_documents(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> connected components -> per-doc cluster
+    assignment + keep-list (the pairs->clusters step of a production
+    dedup run); iterative min-label propagation, oracle = recursive
+    transitive-closure CTE."""
+    from pdf2ocr_spark.functions.dedup import dedup_cluster_assignments
+
+    return dedup_cluster_assignments(_documents(spark, sf_dir))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf2ocr_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -869,6 +879,71 @@ GROUP BY 1, 2
 """
 
 
+#: PII patterns, RE2- and Java-regex compatible (no lookaround; DuckDB
+#: needs the 'g' flag to replace all — Spark replaces all by default)
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_URL = r"https?://[^ ]+"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data pipeline tier): count + redact
+    emails / URLs / phone-shaped tokens from document text. The corpus
+    is synthetic and PII-free, so each doc is seeded with one
+    deterministic instance of each PII kind (derived from doc_id) before
+    scrubbing — the operator's effect is provable per row, not vacuous.
+    Pure JVM-side regexp expressions: codegen'd, zero shuffle, scales as
+    a map stage."""
+    docs = _documents(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@example.com via https://ex.org/d/"), did,
+        F.lit(" or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+    def _count(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long")
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"),
+            _PII_URL, "<URL>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        _count(seeded, _PII_EMAIL).alias("n_emails"),
+        _count(seeded, _PII_URL).alias("n_urls"),
+        _count(seeded, _PII_PHONE).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com via https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+                || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_URL}', '<URL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM seeded
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -883,6 +958,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filename_title": q_filename_title,
     "dedup_exact_full": q_dedup_exact_full,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "similarity_cosine_topk": q_cosine_topk,
@@ -890,6 +966,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf": q_ivf_topk,
     "dedup_embedding_cosine": q_embedding_near_dup,
     "lang_id": q_lang_id,
+    "pii_scrub": q_pii_scrub,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "epub_lang_map": q_epub_lang_map,
@@ -902,6 +979,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _training_oracle_sql() -> Dict[str, str]:
     from pdf2ocr_spark.functions.dedup_sql import (
+        SQL_DEDUP_CLUSTERS,
         SQL_DEDUP_EXACT_FULL,
         SQL_DEDUP_MINHASH,
         SQL_DEDUP_NGRAM_JACCARD,
@@ -920,6 +998,7 @@ def _training_oracle_sql() -> Dict[str, str]:
     return {
         "dedup_exact_full": SQL_DEDUP_EXACT_FULL,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "similarity_cosine_topk": SQL_COSINE_TOPK,
@@ -949,5 +1028,6 @@ ORACLE_SQL: Dict[str, str] = {
     "tpch_top_revenue": SQL_TOP_REVENUE,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "media_decode": SQL_MEDIA_DECODE,
+    "pii_scrub": SQL_PII_SCRUB,
     **_training_oracle_sql(),
 }

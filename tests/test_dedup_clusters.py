@@ -1,0 +1,79 @@
+"""Connected-components cluster assignment (functions/dedup.py
+connected_components / dedup_cluster_assignments) + PII scrub semantics.
+
+The full DuckDB-oracle parity for the registered ``dedup_clusters`` and
+``pii_scrub`` queries runs in test_oracle_parity.py; these tests pin the
+graph algorithm itself on hand-built topologies (transitivity is the
+whole point of the operator — pairs alone under-delete) and the scrub's
+per-kind behavior.
+"""
+
+from pyspark.sql import functions as F
+
+from pdf2ocr_spark.functions.dedup import (
+    connected_components,
+    dedup_cluster_assignments,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def _components(spark, pairs):
+    rows = connected_components(_edges(spark, pairs)).collect()
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    # A-B, B-C, C-D: one component, label must propagate the full chain
+    # (diameter 3 — more rounds than the init step covers)
+    got = _components(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cycle_terminates(spark):
+    got = _components(spark, [(5, 6), (6, 7), (7, 5)])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_star_hub_takes_min_leaf(spark):
+    # hub id LARGER than the leaves: min label lives on a leaf
+    got = _components(spark, [(10, 2), (10, 3), (10, 4)])
+    assert got == {2: 2, 3: 2, 4: 2, 10: 2}
+
+
+def test_disjoint_components_stay_apart(spark):
+    got = _components(spark, [(1, 2), (7, 9), (9, 8)])
+    assert got == {1: 1, 2: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_cluster_assignments_contract(spark, sf_dir):
+    out = dedup_cluster_assignments(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).toPandas()
+    assert len(out), "near-dup corpus construction guarantees clusters"
+    # exactly one keeper per cluster, and it carries the cluster id
+    keepers = out[out.is_keeper]
+    assert keepers.cluster_id.nunique() == out.cluster_id.nunique()
+    assert (keepers.doc_id == keepers.cluster_id).all()
+    # cluster_id is the component minimum
+    assert (out.groupby("cluster_id").doc_id.min() ==
+            out.groupby("cluster_id").doc_id.min().index).all()
+    # sizes are consistent
+    sizes = out.groupby("cluster_id").size()
+    merged = out.set_index("cluster_id").cluster_size
+    assert (sizes[merged.index] == merged).all()
+
+
+def test_pii_scrub_redacts_every_kind(spark, sf_dir):
+    from pdf2ocr_spark.plans.queries import q_pii_scrub
+
+    out = q_pii_scrub(spark, sf_dir).limit(50).toPandas()
+    assert (out.n_emails >= 1).all()
+    assert (out.n_urls >= 1).all()
+    assert (out.n_phones >= 1).all()
+    joined = " ".join(out.scrubbed)
+    assert "@example.com" not in joined
+    assert "https://" not in joined
+    assert "<EMAIL>" in joined and "<URL>" in joined and "<PHONE>" in joined
