@@ -91,24 +91,33 @@ def cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def _plane_sign(vec: Column, plane: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane[d] = +-1 from md5(plane:d) —
-    the deterministic 'random' hyperplane both engines can derive."""
-    coefs = [
-        F.when(
-            F.conv(
-                F.md5(F.lit(f"{plane}:{d}")).substr(1, 8), 16, 10
-            ).cast("long")
-            % 2
-            == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
+def _plane_coefs(plane: int) -> list:
+    """+-1 coefficients of the deterministic 'random' hyperplane:
+    sign(md5(plane:d)). Computed in PYTHON — the md5 inputs are literals,
+    so evaluating them driver-side and shipping ONE array literal per
+    plane replaces the 64 per-dimension when(conv(md5(...))) subtrees the
+    old form built (8 planes x 64 dims x ~6 expression nodes, each a
+    py4j round-trip: 10-19 s of DataFrame CONSTRUCTION per query; the
+    values are identical — pinned by test_plane_coefs_match_sql)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
         for d in range(DIM)
     ]
-    dot = None
-    for d in range(DIM):
-        term = F.element_at(vec, d + 1) * coefs[d]
-        dot = term if dot is None else dot + term
+
+
+def _plane_sign(vec: Column, plane: int) -> Column:
+    """Sign bit of <vec, h_plane>. The zip_with/aggregate fold adds terms
+    in the same left-to-right dimension order as the oracle's sequential
+    sum, so scores stay bit-comparable."""
+    dot = F.aggregate(
+        F.zip_with(vec, F.lit(_plane_coefs(plane)), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (dot > 0).cast("long")
 
 

@@ -944,6 +944,109 @@ FROM seeded
 """
 
 
+#: context-window packing: token window / stride (overlap = CHUNK_W - CHUNK_S).
+#: Sized to the synthetic corpus (docs are 10-100 tokens) so typical docs
+#: split into 2-4 overlapping windows; a real pretraining run would use
+#: e.g. 2048/1920 — the plan shape is identical.
+CHUNK_W = 32
+CHUNK_S = 25
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into fixed-size token
+    windows (W=120 tokens, stride 100 -> 20-token overlap) — the
+    context-window packing step an LLM-pretraining pipeline runs after
+    cleaning/dedup. Pure JVM array ops (sequence/explode/slice), one
+    narrow explode whose fan-out is len/stride per doc; no shuffle, so
+    at 10^12 docs it stays a map stage fused with the scan."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split("text", " ")
+    with_starts = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(toks) - 1, F.lit(0)),
+                F.lit(CHUNK_S),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, CHUNK_W)
+    return with_starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_S).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+st AS (
+    SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_S})) AS start
+    FROM tok
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_S} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + {CHUNK_W})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_W}), ' ') AS chunk_text
+FROM st
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall of the LSH top-k against the exact
+    cosine top-k, per query point (basis points for hash-stable
+    comparison). The evaluation itself is distributed: a semi-join of
+    the two top-k relations on (query_id, neighbor_id) + one small
+    aggregation — both sides are bounded by N_QUERIES * k rows."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q_ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.coalesce("n_hits", F.lit(0)) * 10000.0 / F.col("n_exact")
+                + F.lit(0.5)
+            ).cast("long").alias("recall_bp"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    from pdf2ocr_spark.functions.similarity_sql import (
+        SQL_ANN_LSH_TOPK,
+        SQL_COSINE_TOPK,
+    )
+
+    return f"""
+WITH exact AS ({SQL_COSINE_TOPK}),
+ann AS ({SQL_ANN_LSH_TOPK}),
+totals AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+hits AS (
+    SELECT e.query_id, count(*) AS n_hits
+    FROM exact e JOIN ann a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+)
+SELECT t.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(floor(coalesce(h.n_hits, 0) * 10000.0 / t.n_exact + 0.5) AS BIGINT)
+           AS recall_bp
+FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -963,6 +1066,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_cosine_topk": q_cosine_topk,
     "similarity_ann_lsh": q_ann_lsh_topk,
+    "similarity_ann_recall": q_ann_recall,
+    "doc_chunks": q_doc_chunks,
     "similarity_ivf": q_ivf_topk,
     "dedup_embedding_cosine": q_embedding_near_dup,
     "lang_id": q_lang_id,
@@ -1029,5 +1134,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_windowed": SQL_EVENTS_WINDOWED,
     "media_decode": SQL_MEDIA_DECODE,
     "pii_scrub": SQL_PII_SCRUB,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "similarity_ann_recall": _ann_recall_sql(),
     **_training_oracle_sql(),
 }

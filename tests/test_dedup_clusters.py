@@ -77,3 +77,33 @@ def test_pii_scrub_redacts_every_kind(spark, sf_dir):
     assert "@example.com" not in joined
     assert "https://" not in joined
     assert "<EMAIL>" in joined and "<URL>" in joined and "<PHONE>" in joined
+
+
+def test_doc_chunks_windowing(spark, sf_dir):
+    from pdf2ocr_spark.plans.queries import CHUNK_S, CHUNK_W, q_doc_chunks
+
+    out = q_doc_chunks(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert out.doc_id.nunique() == len(docs), "every doc chunks"
+    assert out.chunk_id.max() >= 1, "windowing must actually split docs"
+    assert out.n_tokens.max() <= CHUNK_W
+    # overlap: consecutive chunks of one doc share CHUNK_W - CHUNK_S tokens
+    multi = out[out.doc_id == out[out.chunk_id >= 1].doc_id.iloc[0]]
+    c0 = multi[multi.chunk_id == 0].chunk_text.iloc[0].split(" ")
+    c1 = multi[multi.chunk_id == 1].chunk_text.iloc[0].split(" ")
+    assert c0[CHUNK_S:CHUNK_W] == c1[: CHUNK_W - CHUNK_S]
+    # reconstruction: stride-window union covers the doc exactly
+    doc = docs[docs.doc_id == multi.doc_id.iloc[0]].text.iloc[0].split(" ")
+    rebuilt = []
+    for _, row in multi.sort_values("chunk_id").iterrows():
+        rebuilt.extend(row.chunk_text.split(" ")[: CHUNK_S])
+    assert rebuilt == doc[: len(rebuilt)] and len(rebuilt) >= len(doc) - CHUNK_W
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    from pdf2ocr_spark.plans.queries import q_ann_recall
+
+    out = q_ann_recall(spark, sf_dir).toPandas()
+    assert len(out), "one row per query point"
+    assert ((out.recall_bp >= 0) & (out.recall_bp <= 10000)).all()
+    assert (out.n_hits * 10000 / 5 >= out.recall_bp - 1).all()

@@ -121,3 +121,29 @@ def test_approx_results_subset_of_corpus(recall_inputs, spark):
         ranks = sorted(grp["rank"])
         assert ranks == list(range(1, len(ranks) + 1))
         assert len(ranks) <= TOP_K
+
+
+def test_plane_coefs_match_sql(spark):
+    """The Python-evaluated hyperplane coefficients must equal the
+    SQL-derived ones (oracle similarity_sql.py computes
+    sign(md5(p || ':' || d)) in-engine; _plane_coefs hoists the same md5
+    to the driver because the inputs are literals)."""
+    import duckdb
+
+    from pdf2ocr_spark.functions.similarity import DIM, N_PLANES, _plane_coefs
+
+    rows = duckdb.sql(
+        f"""
+        SELECT p, d,
+               CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+                        CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS coef
+        FROM (SELECT unnest(range({N_PLANES})) AS p),
+             (SELECT unnest(range({DIM})) AS d)
+        """
+    ).fetchall()
+    want = {}
+    for p, d, c in rows:
+        want.setdefault(p, [0.0] * DIM)[d] = c
+    for p in range(N_PLANES):
+        assert _plane_coefs(p) == want[p], f"plane {p}"
