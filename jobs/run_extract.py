@@ -83,10 +83,9 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
 
     from pdf2ocr_spark.operators.checkpoint import run_checkpointed, summary
-    from pdf2ocr_spark.operators.docgen import documents_to_docs
     from pdf2ocr_spark.pipeline import (
         load_documents,
-        stripe_documents,
+        stripe_key,
         tile_documents,
     )
 
@@ -96,25 +95,37 @@ def main() -> None:
     # (Amdahl fraction that caps scaling; same move as pipeline.run_pipeline)
     documents = load_documents(spark, args.sf_dir).repartition(args.partitions)
     documents = tile_documents(documents, args.tile)
-    docs = documents_to_docs(stripe_documents(documents, args.partitions))
+    # the job's ONLY shuffle: ~100-byte text rows, weight-striped by the
+    # text-predicted part id; channel+extract then run as ONE fused
+    # Python stage (run_checkpointed fused_channel) so the nested span
+    # arrays are never exchanged — at 10^12 docs the nested relation is
+    # the one you cannot afford to shuffle
+    small = documents.withColumn(
+        "part_id", stripe_key(args.partitions)
+    ).repartition(args.partitions, "part_id")
     res = run_checkpointed(
         spark,
-        docs,
+        small,
         args.output,
         num_partitions=args.partitions,
         formats=cfg.effective_formats,
         lang=cfg.lang,
         max_sentences=cfg.max_sentences,
         resume=not args.no_resume,
+        fused_channel=True,
     )
     ocr = {}
     if args.ocr_stats:
         from pyspark.sql import functions as F
 
+        from pdf2ocr_spark.operators.docgen import documents_to_docs
         from pdf2ocr_spark.operators.ocr import ocr_recover_stats
 
+        # the raster stage consumes the nested docs relation; derive it
+        # from the already-partitioned small rows (this opt-in stage is
+        # the only consumer — the fused extract path never materializes it)
         st = ocr_recover_stats(
-            docs,
+            documents_to_docs(small),
             max_pages_per_doc=args.ocr_max_pages,
             dpi=cfg.dpi,
             batch_size=cfg.batch_size,

@@ -121,6 +121,104 @@ def _kernel(formats: Sequence[str], lang: str, max_sentences: Optional[int]):
     return run
 
 
+def _kernel_fused(formats: Sequence[str], lang: str, max_sentences: Optional[int]):
+    """Channel + extract in ONE Python pass over the SMALL text rows.
+
+    The two-stage form (documents -> channel mapInPandas -> nested docs
+    -> repartition(part_id) -> extract mapInPandas) shuffles the full
+    nested span relation between the stages and pays a second
+    nested-Arrow round trip; fused, the only shuffle in the whole job is
+    the caller's ~100-byte-row repartition by the text-predicted
+    part_id (pipeline.stripe_key), and the nested spans live only inside
+    one Python worker. Runs as ``mapInArrow`` and emits RecordBatches
+    directly: the span-heavy OUTPUT relation (~36 rows/doc) through
+    pandas costs a per-row tuple -> DataFrame -> Arrow conversion that
+    measured ~4-5x the kernel (same finding as extract_spans_arrow,
+    operators/extract.py). Lineage metrics are identical to _kernel
+    (pages counted from the spans the channel just built; wall covers
+    channel+extract — the work this kernel actually does)."""
+    import pyarrow as pa
+
+    from pdf2ocr_spark.kernel.docgen import build_spans
+
+    fmts = tuple(formats)
+    names = ["doc_id", "kind", "text", "media_ref", "offset", "part_id"]
+
+    def _batch(doc, kind, text, ref, off, pid):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc, pa.string()),
+                pa.array(kind, pa.string()),
+                pa.array(text, pa.string()),
+                pa.array(ref, pa.string()),
+                pa.array(off, pa.int32()),
+                pa.array(pid, pa.int32()),
+            ],
+            names=names,
+        )
+
+    def run(batches):
+        stats: dict[int, dict] = {}
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            sources = batch.column("source").to_pylist()
+            pids = batch.column("part_id").to_pylist()
+            o_doc, o_kind, o_text, o_ref, o_off, o_pid = [], [], [], [], [], []
+            for doc_id, text, source, pid in zip(doc_ids, texts, sources, pids):
+                pid = int(pid)
+                did = str(doc_id)
+                st = stats.setdefault(
+                    pid,
+                    {"docs": 0, "pages": 0, "spans": 0, "wall": 0.0, "errors": []},
+                )
+                st["docs"] += 1
+                t0 = time.monotonic()
+                try:
+                    spans = build_spans(did, text, source)
+                    st["pages"] += sum(1 for s in spans if s.get("kind") == "page")
+                    out = extract_document(did, spans, fmts, lang, max_sentences)
+                except Exception as exc:  # reference-style per-doc isolation
+                    st["errors"].append(f"{did}: {exc}")
+                    st["wall"] += time.monotonic() - t0
+                    continue
+                st["wall"] += time.monotonic() - t0
+                st["spans"] += len(out)
+                for r in out:
+                    o_doc.append(r[0])
+                    o_kind.append(r[1])
+                    o_text.append(r[2])
+                    o_ref.append(r[3])
+                    o_off.append(r[4])
+                    o_pid.append(pid)
+            yield _batch(o_doc, o_kind, o_text, o_ref, o_off, o_pid)
+        if stats:
+            s_doc, s_kind, s_text, s_ref, s_off, s_pid = [], [], [], [], [], []
+            for pid, st in sorted(stats.items()):
+                payload = json.dumps(
+                    {
+                        "doc_count": st["docs"],
+                        "page_count": st["pages"],
+                        "span_count": st["spans"],
+                        "wall_sec": round(st["wall"], 4),
+                        "docs_per_sec": (
+                            round(st["docs"] / st["wall"], 3) if st["wall"] > 0 else None
+                        ),
+                        "status": "success",
+                        "errors": st["errors"],
+                    }
+                )
+                s_doc.append(None)
+                s_kind.append(LINEAGE_KIND)
+                s_text.append(payload)
+                s_ref.append(None)
+                s_off.append(0)
+                s_pid.append(pid)
+            yield _batch(s_doc, s_kind, s_text, s_ref, s_off, s_pid)
+
+    return run
+
+
 def _completed_partitions(spark: SparkSession, output_dir: str) -> set[int]:
     try:
         lin = read_lineage(spark, output_dir)
@@ -139,14 +237,32 @@ def run_checkpointed(
     lang: str = "eng",
     max_sentences: Optional[int] = None,
     resume: bool = True,
+    fused_channel: bool = False,
 ) -> dict:
     """Execute the extraction job with per-partition checkpointing.
+
+    Default mode consumes the nested ``docs(doc_id, spans)`` relation and
+    shuffles it by ``stable_part_id``. ``fused_channel=True`` consumes the
+    SMALL pre-channel relation ``(doc_id, text, source, part_id)`` instead
+    and runs channel+extract in one Python pass: the caller computes a
+    deterministic part_id on the text rows (``pipeline.stripe_key``) and
+    repartitions the cheap side, so NO nested data is ever shuffled —
+    the scale-critical layout for the spark-submit job.
 
     Returns a summary dict: partitions planned/skipped/processed.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    tagged = docs.withColumn("part_id", stable_part_id(num_partitions))
+    if fused_channel:
+        if "part_id" not in docs.columns:
+            raise ValueError(
+                "fused_channel=True requires a caller-computed part_id "
+                "column (pipeline.stripe_key) so resume sees the same "
+                "doc -> partition mapping on every run"
+            )
+        tagged = docs
+    else:
+        tagged = docs.withColumn("part_id", stable_part_id(num_partitions))
 
     if not resume:
         # a fresh (non-resume) run must not inherit stale state: dynamic
@@ -158,25 +274,42 @@ def run_checkpointed(
         import shutil
 
         shutil.rmtree(os.path.join(output_dir, "combined"), ignore_errors=True)
+    t_resume0 = time.monotonic()
     done = _completed_partitions(spark, output_dir) if resume else set()
     if done:
         tagged = tagged.where(~F.col("part_id").isin(list(done)))
 
     planned = num_partitions - len(done)
-    if planned <= 0 or tagged.isEmpty():
+    # isEmpty costs a real pass over the input's map side — only worth it
+    # when the resume filter could actually have emptied the relation (a
+    # fresh run with work planned is never empty unless the INPUT is, and
+    # an empty input makes the main write a cheap no-op anyway)
+    if planned <= 0 or (done and tagged.isEmpty()):
         return {"partitions": num_partitions, "skipped": len(done), "processed": 0}
+    t_resume = time.monotonic() - t_resume0
 
     # ONE shuffle + ONE kernel pass + ONE idempotent partition-overwrite
     # write; spans and lineage are views over the combined relation, so a
     # resumed/re-run partition atomically replaces both its spans and its
     # lineage row together (no spans-written-but-lineage-missing window).
-    shuffled = tagged.repartition(num_partitions, "part_id")
-    out = shuffled.select("doc_id", "spans", "part_id").mapInPandas(
-        _kernel(formats, lang, max_sentences), schema=CHECKPOINT_OUT_SCHEMA
-    )
+    # In fused mode the caller already repartitioned the small rows by
+    # part_id — repeating it here would put a second (elided or worse,
+    # real) exchange in the plan.
+    if fused_channel:
+        out = tagged.select("doc_id", "text", "source", "part_id").mapInArrow(
+            _kernel_fused(formats, lang, max_sentences),
+            schema=CHECKPOINT_OUT_SCHEMA,
+        )
+    else:
+        shuffled = tagged.repartition(num_partitions, "part_id")
+        out = shuffled.select("doc_id", "spans", "part_id").mapInPandas(
+            _kernel(formats, lang, max_sentences), schema=CHECKPOINT_OUT_SCHEMA
+        )
+    t_write0 = time.monotonic()
     out.write.mode("overwrite").partitionBy("part_id").parquet(
         os.path.join(output_dir, "combined")
     )
+    t_write = time.monotonic() - t_write0
 
     # partitions that received ZERO documents emit no kernel sentinel (the
     # kernel never saw them), so `planned` is only an upper bound — count
@@ -187,6 +320,7 @@ def run_checkpointed(
     # marking it done instead would wrongly skip its documents when a
     # resume is fed input the crashed run never read. The read-back scans
     # <= one lineage row per partition.
+    t_verify0 = time.monotonic()
     present = {
         r["part_id"]
         for r in _combined(spark, output_dir)
@@ -199,6 +333,11 @@ def run_checkpointed(
         "partitions": num_partitions,
         "skipped": len(done),
         "processed": len(present - done),
+        "phase_sec": {
+            "resume_check": round(t_resume, 2),
+            "kernel_write": round(t_write, 2),
+            "verify": round(time.monotonic() - t_verify0, 2),
+        },
     }
 
 

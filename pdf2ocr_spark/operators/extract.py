@@ -149,24 +149,44 @@ def documents_to_spans(
 ) -> DataFrame:
     """FUSED ingest path: (doc_id, text, source) -> spans_out in ONE Python
     pass per batch (docgen channel + extraction kernel back to back, no
-    intermediate nested Arrow round trip, no second worker chain)."""
+    intermediate nested Arrow round trip, no second worker chain). Emits
+    Arrow RecordBatches directly: the span-heavy output (~36 rows/doc)
+    through the pandas path pays a tuple-list -> DataFrame -> Arrow
+    conversion that measured ~4-5x the kernel itself (same finding as
+    extract_spans_arrow above)."""
+    import pyarrow as pa
+
     fmts = tuple(formats)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
         from pdf2ocr_spark.kernel.docgen import build_spans
         from pdf2ocr_spark.kernel.emit import extract_document
 
-        cols = ["doc_id", "kind", "text", "media_ref", "offset"]
-        for pdf in batches:
-            rows = []
-            for doc_id, text, source in zip(
-                pdf["doc_id"], pdf["text"], pdf["source"]
-            ):
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            sources = batch.column("source").to_pylist()
+            o_doc, o_kind, o_text, o_ref, o_off = [], [], [], [], []
+            for doc_id, text, source in zip(doc_ids, texts, sources):
                 did = str(doc_id)
                 spans = build_spans(did, text, source)
-                rows.extend(extract_document(did, spans, fmts, lang, max_sentences))
-            yield pd.DataFrame(rows, columns=cols)
+                for r in extract_document(did, spans, fmts, lang, max_sentences):
+                    o_doc.append(r[0])
+                    o_kind.append(r[1])
+                    o_text.append(r[2])
+                    o_ref.append(r[3])
+                    o_off.append(r[4])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, pa.string()),
+                    pa.array(o_kind, pa.string()),
+                    pa.array(o_text, pa.string()),
+                    pa.array(o_ref, pa.string()),
+                    pa.array(o_off, pa.int32()),
+                ],
+                names=["doc_id", "kind", "text", "media_ref", "offset"],
+            )
 
-    return documents.select("doc_id", "text", "source").mapInPandas(
+    return documents.select("doc_id", "text", "source").mapInArrow(
         run, schema=SPANS_OUT_SCHEMA
     )

@@ -46,17 +46,15 @@ def load_docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents_to_docs(load_documents(spark, sf_dir))
 
 
-def stripe_documents(documents: DataFrame, num_partitions: int) -> DataFrame:
-    """Weight-striped repartition of the SMALL documents relation, before
-    span expansion — the scale-critical move: the shuffle moves ~100-byte
-    rows, not the expanded nested span arrays, and the downstream
-    docgen+extract stages then run fused with no further shuffle.
-
-    The per-doc work weight (words x heavy tiling factor) is predicted with
-    the same md5-derived heavy factor the Python channel uses
-    (kernel/docgen.py:heavy_factor), expressed in pure Catalyst so the
-    planner sees a deterministic column expression.
-    """
+def stripe_key(num_partitions: int):
+    """Deterministic weight-striped partition key, computable on the
+    SMALL (pre-channel) documents relation: the per-doc work weight
+    (words x heavy tiling factor) is predicted with the same md5-derived
+    heavy factor the Python channel uses (kernel/docgen.py:heavy_factor),
+    expressed in pure Catalyst so the planner sees a deterministic column
+    expression. Shared by stripe_documents and the fused checkpoint job
+    (jobs/run_extract.py), whose resume contract needs the same doc ->
+    partition mapping on every run."""
     from pyspark.sql import functions as F
 
     from pdf2ocr_spark.kernel.docgen import HEAVY_DOC_RATE, HEAVY_MAX_FACTOR
@@ -77,11 +75,19 @@ def stripe_documents(documents: DataFrame, num_partitions: int) -> DataFrame:
     )
     weight = F.size(F.split("text", " ")) * factor
     wclass = F.floor(F.log2(weight + F.lit(1.0)))
-    key = F.pmod(
+    return F.pmod(
         F.xxhash64(F.col("doc_id").cast("string"), wclass.cast("long")),
         F.lit(num_partitions),
     ).cast("int")
-    return documents.repartition(num_partitions, key)
+
+
+def stripe_documents(documents: DataFrame, num_partitions: int) -> DataFrame:
+    """Weight-striped repartition of the SMALL documents relation, before
+    span expansion — the scale-critical move: the shuffle moves ~100-byte
+    rows, not the expanded nested span arrays, and the downstream
+    docgen+extract stages then run fused with no further shuffle.
+    """
+    return documents.repartition(num_partitions, stripe_key(num_partitions))
 
 
 def run_pipeline(

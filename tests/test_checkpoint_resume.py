@@ -40,7 +40,9 @@ def canon(pdf):
 
 def test_full_run_writes_spans_and_lineage(spark, docs, outdir):
     res = run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
-    assert res == {"partitions": N_PARTS, "skipped": 0, "processed": N_PARTS}
+    assert res["partitions"] == N_PARTS
+    assert res["skipped"] == 0 and res["processed"] == N_PARTS
+    assert set(res["phase_sec"]) == {"resume_check", "kernel_write", "verify"}
 
     spans = read_spans(spark, outdir)
     direct = run_pipeline(spark, "/root/testdata/sf0.001", num_partitions=4)
@@ -151,3 +153,62 @@ def test_no_resume_clears_stale_state(spark, docs, outdir):
     subset_ids = {r["doc_id"] for r in subset.select("doc_id").collect()}
     assert set(spans["doc_id"]) <= subset_ids
     assert len(read_lineage(spark, outdir).toPandas()) == 3
+
+
+def _small_with_part_id(spark, sf_dir, parts):
+    from pdf2ocr_spark.pipeline import load_documents, stripe_key
+
+    return (
+        load_documents(spark, sf_dir)
+        .withColumn("part_id", stripe_key(parts))
+        .repartition(parts, "part_id")
+    )
+
+
+def test_fused_channel_matches_two_stage(spark, docs, sf_dir, outdir):
+    """The fused channel+extract kernel (the job's zero-nested-shuffle
+    path) must emit span-for-span the same relation as the two-stage
+    docs -> extract path."""
+    import pandas as pd
+
+    small = _small_with_part_id(spark, sf_dir, N_PARTS)
+    res = run_checkpointed(
+        spark, small, outdir, num_partitions=N_PARTS, fused_channel=True
+    )
+    assert res["processed"] > 0 and res["skipped"] == 0
+
+    fused = read_spans(spark, outdir).toPandas()
+    two_stage_dir = outdir + "_two_stage"
+    try:
+        run_checkpointed(spark, docs, two_stage_dir, num_partitions=N_PARTS)
+        two_stage = read_spans(spark, two_stage_dir).toPandas()
+    finally:
+        shutil.rmtree(two_stage_dir, ignore_errors=True)
+    pd.testing.assert_frame_equal(canon(fused), canon(two_stage))
+
+    # lineage covers every doc exactly once despite the caller-side part id
+    lin = read_lineage(spark, outdir).toPandas()
+    assert lin["doc_count"].sum() == small.count()
+    assert (lin["status"] == "success").all()
+
+
+def test_fused_channel_resume_is_noop_and_requires_part_id(spark, sf_dir, outdir):
+    small = _small_with_part_id(spark, sf_dir, N_PARTS)
+    first = run_checkpointed(
+        spark, small, outdir, num_partitions=N_PARTS, fused_channel=True
+    )
+    assert first["processed"] > 0
+    again = run_checkpointed(
+        spark, small, outdir, num_partitions=N_PARTS, fused_channel=True
+    )
+    assert again["processed"] == 0
+    assert again["skipped"] == first["processed"]
+
+    with pytest.raises(ValueError, match="part_id"):
+        run_checkpointed(
+            spark,
+            small.drop("part_id"),
+            outdir + "_x",
+            num_partitions=N_PARTS,
+            fused_channel=True,
+        )
