@@ -1047,6 +1047,81 @@ FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
 """
 
 
+#: per-language sampling rates in basis points (en downsampled — the
+#: majority stratum in every web corpus; everything else kept at 50%)
+_SAMPLE_RATES_BP = {"en": 2000}
+_SAMPLE_DEFAULT_BP = 5000
+VOCAB_TOP_K = 100
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipeline tier):
+    keep each document iff hash(doc_id) falls under its language
+    stratum's quota — the reproducible, rerun-stable alternative to
+    rand()-based sampling (a resumed 10^12-doc job must sample the SAME
+    docs). Pure codegen filter, zero shuffle, trivially partitionable."""
+    from pdf2ocr_spark.functions.dedup import base_hash
+
+    docs = _documents(spark, sf_dir)
+    bucket = base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))) % 10000
+    rate = F.lit(_SAMPLE_DEFAULT_BP)
+    for lang, bp in sorted(_SAMPLE_RATES_BP.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang", bucket.cast("long").alias("sample_bucket")
+    ).where(F.col("sample_bucket") < rate)
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH b AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8)
+                AS BIGINT) % 10000 AS sample_bucket
+    FROM documents
+)
+SELECT doc_id, lang, sample_bucket
+FROM b
+WHERE sample_bucket < (CASE WHEN lang = 'en' THEN {_SAMPLE_RATES_BP["en"]}
+                            ELSE {_SAMPLE_DEFAULT_BP} END)
+"""
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table: top-K tokens by document frequency with
+    total term frequency. Two-level aggregation — per-(doc, token)
+    counts first, then per-token rollup — so both shuffles move
+    pre-combined partials (a countDistinct over raw tokens would expand
+    instead); the deterministic (df, tf, token) ordering + LIMIT
+    compiles to TakeOrderedAndProject, which keeps only K rows per
+    partition before the final merge — no global sort at 10^12 docs."""
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    return (
+        per_doc.groupBy("token")
+        .agg(F.count("*").alias("df"), F.sum("cnt").alias("tf"))
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+SQL_VOCAB_STATS = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+per_doc AS (
+    SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+)
+SELECT token, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS tf
+FROM per_doc
+GROUP BY token
+ORDER BY df DESC, tf DESC, token ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -1072,6 +1147,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "pii_scrub": q_pii_scrub,
+    "sample_stratified": q_sample_stratified,
+    "vocab_stats": q_vocab_stats,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "epub_lang_map": q_epub_lang_map,
@@ -1136,5 +1213,7 @@ ORACLE_SQL: Dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "doc_chunks": SQL_DOC_CHUNKS,
     "similarity_ann_recall": _ann_recall_sql(),
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "vocab_stats": SQL_VOCAB_STATS,
     **_training_oracle_sql(),
 }
