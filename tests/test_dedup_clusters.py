@@ -107,3 +107,13 @@ def test_ann_recall_bounds(spark, sf_dir):
     assert len(out), "one row per query point"
     assert ((out.recall_bp >= 0) & (out.recall_bp <= 10000)).all()
     assert (out.n_hits * 10000 / 5 >= out.recall_bp - 1).all()
+
+
+def test_deep_chain_converges_logarithmically(spark):
+    """A 40-node path has diameter 39: plain neighbor-min propagation
+    needs ~39 rounds and would exhaust max_iters=15 (silently wrong
+    before the pointer-doubling rewrite — now it raises instead);
+    label-chasing halves pointer depth per round, so this converges
+    well inside the budget."""
+    got = _components(spark, [(i, i + 1) for i in range(100, 140)])
+    assert got == {i: 100 for i in range(100, 141)}
