@@ -1122,6 +1122,71 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: top-K tokens by a tf-idf-style
+    score. The idf is the RATIONAL (N * 10000) div df rather than
+    ln(N/df): integer arithmetic is bit-identical across engines, while
+    libm log implementations can disagree in the last ulp and flip a
+    rounding boundary (monotone in N/df, so the ranking is the same).
+    Plan: two-level token aggregation (partials only), the tiny df
+    relation joins back by token (hash join; broadcastable when the
+    vocabulary is capped), corpus size N arrives via a broadcast
+    single-row aggregate, and rank<=K compiles to WindowGroupLimit —
+    per-partition top-K, no global sort."""
+    from pyspark.sql.window import Window
+
+    docs = _documents(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfrel = per_doc.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        per_doc.join(dfrel, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (F.col("tf") * F.expr("(n_docs * 10000L) div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_DOC_TFIDF = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+per_doc AS (
+    SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+dfrel AS (SELECT token, count(*) AS df FROM per_doc GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT per_doc.doc_id, per_doc.token, per_doc.tf,
+           per_doc.tf * ((n.n_docs * 10000) // dfrel.df) AS score
+    FROM per_doc JOIN dfrel USING (token), n
+),
+ranked AS (
+    SELECT doc_id, token, tf, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, token ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, token, tf, CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -1149,6 +1214,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "sample_stratified": q_sample_stratified,
     "vocab_stats": q_vocab_stats,
+    "doc_tfidf": q_doc_tfidf,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "epub_lang_map": q_epub_lang_map,
@@ -1215,5 +1281,6 @@ ORACLE_SQL: Dict[str, str] = {
     "similarity_ann_recall": _ann_recall_sql(),
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "vocab_stats": SQL_VOCAB_STATS,
+    "doc_tfidf": SQL_DOC_TFIDF,
     **_training_oracle_sql(),
 }
