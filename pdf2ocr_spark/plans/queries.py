@@ -1187,6 +1187,80 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+#: corpus_clean quality gate (bp); ~P25 of the synthetic corpus, so the
+#: filter provably drops and keeps documents
+CLEAN_MIN_QUALITY_BP = 3500
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline in one statement, composed from
+    the registered building blocks: stratified sample (deterministic
+    per-language quota) -> quality gate (composite score >= threshold)
+    -> PII scrub -> context-window chunking of the scrubbed text.
+    Output = the chunk relation a pretraining run would tokenize.
+
+    Plan shape: three doc_id equi-joins over per-doc relations (each a
+    narrow projection of the same scan — at 10^12 docs these co-partition
+    on doc_id and AQE picks shuffle or broadcast per stats), then the
+    shuffle-free sequence/explode/slice chunker."""
+    sampled = q_sample_stratified(spark, sf_dir).select("doc_id", "lang")
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_bp")
+    scrub = q_pii_scrub(spark, sf_dir).select("doc_id", "scrubbed")
+    base = (
+        sampled.join(quality, "doc_id")
+        .where(F.col("quality_bp") >= CLEAN_MIN_QUALITY_BP)
+        .join(scrub, "doc_id")
+    )
+    toks = F.split("scrubbed", " ")
+    with_starts = base.select(
+        "doc_id",
+        "lang",
+        "quality_bp",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_S)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, CHUNK_W)
+    return with_starts.select(
+        "doc_id",
+        "lang",
+        "quality_bp",
+        (F.col("start") / CHUNK_S).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def _corpus_clean_sql() -> str:
+    from pdf2ocr_spark.functions.similarity_sql import SQL_QUALITY_SCORE
+
+    return f"""
+WITH sampled AS ({SQL_SAMPLE_STRATIFIED}),
+quality AS ({SQL_QUALITY_SCORE}),
+scrub AS ({SQL_PII_SCRUB}),
+base AS (
+    SELECT s.doc_id, s.lang, q.quality_bp, c.scrubbed
+    FROM sampled s
+    JOIN quality q USING (doc_id)
+    JOIN scrub c USING (doc_id)
+    WHERE q.quality_bp >= {CLEAN_MIN_QUALITY_BP}
+),
+st AS (
+    SELECT doc_id, lang, quality_bp, string_split(scrubbed, ' ') AS toks,
+           unnest(range(0, len(string_split(scrubbed, ' ')), {CHUNK_S})) AS start
+    FROM base
+)
+SELECT doc_id, lang, quality_bp,
+       CAST(start // {CHUNK_S} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + {CHUNK_W})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_W}), ' ') AS chunk_text
+FROM st
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -1215,6 +1289,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "vocab_stats": q_vocab_stats,
     "doc_tfidf": q_doc_tfidf,
+    "corpus_clean": q_corpus_clean,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "epub_lang_map": q_epub_lang_map,
@@ -1282,5 +1357,6 @@ ORACLE_SQL: Dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "vocab_stats": SQL_VOCAB_STATS,
     "doc_tfidf": SQL_DOC_TFIDF,
+    "corpus_clean": _corpus_clean_sql(),
     **_training_oracle_sql(),
 }
