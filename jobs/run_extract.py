@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--tile", type=int, default=1)
     ap.add_argument("--formats", default="text,docx_para,html,markdown")
     ap.add_argument("--lang", default="eng")
+    ap.add_argument("--allow-unknown-langs", action="store_true",
+                    help="accept tesseract-shaped --lang codes outside the "
+                         "engine's known map (warns; ref rejects codes not "
+                         "in `tesseract --list-langs`)")
     ap.add_argument("--preserve-layout", action="store_true")
     ap.add_argument("--epub", action="store_true")
     ap.add_argument("--dpi", type=int, default=400)
@@ -63,6 +67,7 @@ def main() -> None:
         num_partitions=args.partitions,
         batch_size=args.batch_size,
         max_sentences=args.max_sentences,
+        allow_unknown_langs=args.allow_unknown_langs,
     )
 
     if not args.ocr_stats and (args.batch_size is not None or args.dpi != 400):

@@ -56,6 +56,15 @@ class ExtractConfig:
     num_partitions: Optional[int] = None
     batch_size: Optional[int] = None
     max_sentences: Optional[int] = None
+    #: The reference validates --lang against the INSTALLED model list
+    #: (`tesseract --list-langs`) and rejects anything else (ref
+    #: ocr.py:450-493). This engine has no tesseract install to probe, so
+    #: by default it matches the reference's fail-fast: only codes in
+    #: TESS_TO_CALIBRE pass. Opting in accepts any tesseract-SHAPED code
+    #: (3-letter base, optional _script suffix, '+'-combinable) with a
+    #: warning — the deliberate relaxation for deployments whose OCR
+    #: runtime has more traineddata than the engine's known map.
+    allow_unknown_langs: bool = False
     effective_formats: Tuple[str, ...] = field(init=False)
 
     def __post_init__(self) -> None:
@@ -77,19 +86,17 @@ class ExtractConfig:
                     "at least one output format is required (ref config.py:96-112)"
                 )
 
-        # The reference validates --lang against the INSTALLED model list
-        # (`tesseract --list-langs`), accepting any installed code including
-        # '+'-joined combos like 'por+eng' (ref ocr.py:450-493). The engine's
-        # analogue: codes in TESS_TO_CALIBRE are fully known; any other
-        # tesseract-SHAPED code (3-letter base, optional _script suffix,
-        # '+'-combinable) is accepted with a warning (the engine has no
-        # per-language behavior beyond the 'por' charset clean and the epub
-        # map, which defaults unknown codes to English — ref epub.py:86);
-        # malformed codes still fail fast like the reference's typo check.
+        # Codes in TESS_TO_CALIBRE are fully known; anything else fails
+        # fast like the reference's typo check (ref ocr.py:450-493) unless
+        # allow_unknown_langs opts into accepting tesseract-shaped codes
+        # with a warning (see the field docstring; the engine has no
+        # per-language behavior beyond the 'por' charset clean and the
+        # epub map, which defaults unknown codes to English — ref
+        # epub.py:86).
         for part in self.lang.split("+"):
             if part in SUPPORTED_LANGS:
                 continue
-            if _TESS_CODE_SHAPE.match(part):
+            if self.allow_unknown_langs and _TESS_CODE_SHAPE.match(part):
                 warnings.warn(
                     f"OCR language {part!r} is outside the engine's known map "
                     f"{sorted(SUPPORTED_LANGS)}; accepted (no language-specific "
@@ -99,8 +106,10 @@ class ExtractConfig:
                 continue
             raise ConfigError(
                 f"unsupported OCR language {part!r}; known: "
-                f"{sorted(SUPPORTED_LANGS)} or any tesseract-shaped code "
-                "(ref ocr.py:450-493 validates against `tesseract --list-langs`)"
+                f"{sorted(SUPPORTED_LANGS)} (ref ocr.py:450-493 validates "
+                "against `tesseract --list-langs`; pass "
+                "allow_unknown_langs=True to accept other "
+                "tesseract-shaped codes with a warning)"
             )
         if not 72 <= self.dpi <= 1200:
             raise ConfigError("dpi must be within [72, 1200] (ref main.py:166-168)")

@@ -289,6 +289,14 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     bits (distinct tokens, unweighted; bits 0..31 from md5(tok), 32..62
     from md5(tok+'#2') — identical to the DuckDB oracle's arithmetic).
 
+    Null texts are coalesced to '' BEFORE the split (the kernel-era
+    ``(text or '').split()`` guard, re-expressed in the JVM plan):
+    ``F.split(NULL)`` yields a NULL array, the pandas_udf would receive
+    ``None`` and fail the whole task on ``len(h)``. A null/empty doc
+    fingerprints as hash('') — deterministic, and it keeps every
+    ``reduceat`` segment non-empty (a zero-length segment would make
+    ``np.add.reduceat`` return the NEXT row's first element, not zero).
+
     Work split (the same JVM/numpy split that won for minhash, see
     minhash_signatures): the per-token md5s run JVM-side as codegen'd
     column expressions producing TWO hash arrays per row — as the sole
@@ -300,7 +308,7 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     shuffled the bits relation — 63x amplification, the scale killer;
     the round-2 kernel hashed per-token in a Python loop.)
     """
-    toks = F.array_distinct(F.split(F.col("text"), " "))
+    toks = F.array_distinct(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
     h1s = F.transform(toks, lambda t: base_hash(t))
     h2s = F.transform(toks, lambda t: base_hash(F.concat(t, F.lit("#2"))))
 
@@ -371,7 +379,11 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iters: int = 15) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 15,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected components of an undirected edge list (doc_a, doc_b):
     returns (node, cluster_id) where cluster_id = min node id reachable.
 
@@ -384,27 +396,69 @@ def connected_components(edges: DataFrame, max_iters: int = 15) -> DataFrame:
     the remaining pointer depth every round, so convergence needs
     O(log diameter) rounds, not O(diameter) — max_iters=15 covers any
     graph a 10^12-doc corpus can produce (2^15 effective diameter).
-    ``localCheckpoint`` truncates lineage so round R's plan does not
-    re-run rounds 1..R-1. Labels only ever decrease, so the label SUM is
-    a strictly decreasing convergence witness: the loop stops the first
-    round the sum is unchanged (the fixpoint is the unique component-min
-    labeling, independent of join order — which is what makes the result
-    oracle-checkable). If the budget is ever exhausted before the
-    fixpoint the operator raises rather than silently returning a
-    partial clustering.
+
+    Per-round lineage truncation (so round R's plan never re-runs rounds
+    1..R-1) has two modes:
+
+    - default ``localCheckpoint`` — blocks live on executor-local
+      storage; fast, but once lineage is truncated a lost executor makes
+      the job unrecoverable. Fine for short interactive runs.
+    - ``checkpoint_dir=...`` — RELIABLE checkpointing for the production
+      path: rounds persist to the configured fault-tolerant directory
+      (HDFS/object store on a cluster), so a multi-hour 10^12-doc run
+      survives executor loss. Each round is ``persist()``-ed first so
+      the post-job checkpoint save reads the cached blocks instead of
+      recomputing the round, then the previous round's cache is dropped.
+
+    Both modes are non-eager: the round's ONE driver action below both
+    materializes the round and reads the convergence witness (folding
+    what used to be two jobs per round into one).
+
+    Labels only ever decrease, so the label SUM is a strictly decreasing
+    convergence witness: the loop stops the first round the sum is
+    unchanged (the fixpoint is the unique component-min labeling,
+    independent of join order — which is what makes the result
+    oracle-checkable). The witness accumulates into decimal(38,0): a
+    bigint sum over 10^12-scale labels can wrap silently in non-ANSI
+    mode, which could mask (or fake) the fixpoint. If the budget is ever
+    exhausted before the fixpoint the operator raises rather than
+    silently returning a partial clustering.
     """
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    cached: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if reliable:
+            df = df.persist()
+            cached.append(df)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
+    # decimal(38,0) accumulator — wrap-proof convergence witness
+    witness = F.sum(F.col("label").cast("decimal(38,0)")).alias("w")
+
+    def _round_trip(labels: DataFrame):
+        """ONE action: materializes the pinned round AND reads the
+        witness (checkpoint saves run synchronously at job end, so the
+        previous rounds' caches are droppable right after)."""
+        s = labels.agg(witness).first()[0]
+        while cached:
+            cached.pop().unpersist()
+        return s
+
     fwd = edges.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
     und = fwd.unionByName(
         edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
     )
     # materialize the edge list once; every round reuses these blocks
-    und = und.localCheckpoint()
-    labels = (
+    und = und.localCheckpoint() if not reliable else _pin(und)
+    labels = _pin(
         und.groupBy("node").agg(F.min("nbr").alias("nbr_min"))
         .select("node", F.least("node", "nbr_min").alias("label"))
-        .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = _round_trip(labels)
     for _ in range(max_iters):
         nbr_prop = (
             und.join(labels.withColumnRenamed("node", "nbr"), "nbr")
@@ -416,7 +470,7 @@ def connected_components(edges: DataFrame, max_iters: int = 15) -> DataFrame:
         chase = labels.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )
-        labels = (
+        labels = _pin(
             labels.join(nbr_prop, "node", "left")
             .join(chase, "label", "left")
             .select(
@@ -427,9 +481,8 @@ def connected_components(edges: DataFrame, max_iters: int = 15) -> DataFrame:
                     F.coalesce("label2", "label"),
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = _round_trip(labels)
         if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("cluster_id"))
         prev_sum = cur_sum
@@ -440,7 +493,9 @@ def connected_components(edges: DataFrame, max_iters: int = 15) -> DataFrame:
     )
 
 
-def dedup_cluster_assignments(documents: DataFrame) -> DataFrame:
+def dedup_cluster_assignments(
+    documents: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Pairs -> CLUSTERS: the last step of a production dedup pipeline.
 
     The LSH band join emits candidate PAIRS; keeping one doc per pair is
@@ -451,7 +506,7 @@ def dedup_cluster_assignments(documents: DataFrame) -> DataFrame:
     10^12-doc training-data run would anti-join against its corpus.
     """
     pairs = minhash_lsh_pairs(documents).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, "cluster_id")

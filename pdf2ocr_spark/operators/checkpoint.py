@@ -57,6 +57,12 @@ LINEAGE_JSON_SCHEMA = T.StructType(
         T.StructField("docs_per_sec", T.DoubleType()),
         T.StructField("status", T.StringType()),
         T.StructField("errors", T.ArrayType(T.StringType())),
+        # which doc->partition map produced this partition: 'nested'
+        # (stable_part_id on span counts) or 'fused' (pipeline.stripe_key
+        # on text word counts) — resume refuses a mode mismatch, because
+        # the two maps assign DIFFERENT documents to the same part_id and
+        # skipping a "done" partition would then skip the wrong documents
+        T.StructField("part_mode", T.StringType()),
     ]
 )
 
@@ -113,6 +119,7 @@ def _kernel(formats: Sequence[str], lang: str, max_sentences: Optional[int]):
                         ),
                         "status": "success",
                         "errors": st["errors"],
+                        "part_mode": "nested",
                     }
                 )
                 sentinels.append([None, LINEAGE_KIND, payload, None, 0, pid])
@@ -206,6 +213,7 @@ def _kernel_fused(formats: Sequence[str], lang: str, max_sentences: Optional[int
                         ),
                         "status": "success",
                         "errors": st["errors"],
+                        "part_mode": "fused",
                     }
                 )
                 s_doc.append(None)
@@ -219,13 +227,23 @@ def _kernel_fused(formats: Sequence[str], lang: str, max_sentences: Optional[int
     return run
 
 
-def _completed_partitions(spark: SparkSession, output_dir: str) -> set[int]:
+def _completed_partitions(
+    spark: SparkSession, output_dir: str
+) -> tuple[set[int], set[str]]:
+    """(done part_ids, partitioning modes recorded in their lineage)."""
     try:
         lin = read_lineage(spark, output_dir)
     except Exception:
-        return set()
-    rows = lin.where(F.col("status") == "success").select("part_id").collect()
-    return {r["part_id"] for r in rows}
+        return set(), set()
+    rows = (
+        lin.where(F.col("status") == "success")
+        .select("part_id", "part_mode")
+        .collect()
+    )
+    return (
+        {r["part_id"] for r in rows},
+        {r["part_mode"] for r in rows if r["part_mode"] is not None},
+    )
 
 
 def run_checkpointed(
@@ -275,7 +293,22 @@ def run_checkpointed(
 
         shutil.rmtree(os.path.join(output_dir, "combined"), ignore_errors=True)
     t_resume0 = time.monotonic()
-    done = _completed_partitions(spark, output_dir) if resume else set()
+    mode = "fused" if fused_channel else "nested"
+    done, done_modes = (
+        _completed_partitions(spark, output_dir) if resume else (set(), set())
+    )
+    if done and done_modes - {mode}:
+        # fused mode partitions by pipeline.stripe_key (word-count weight),
+        # non-fused by stable_part_id (span-count weight): the same part_id
+        # holds DIFFERENT documents under the two maps, so resuming across
+        # modes would skip "done" partitions whose documents this run never
+        # wrote. Refuse instead of silently dropping documents.
+        raise ValueError(
+            f"output_dir {output_dir!r} was written in partitioning mode(s) "
+            f"{sorted(done_modes)} but this run uses {mode!r}; resuming "
+            "across modes silently applies a different doc->partition map. "
+            "Re-run with the original mode, or resume=False to start over."
+        )
     if done:
         tagged = tagged.where(~F.col("part_id").isin(list(done)))
 

@@ -954,7 +954,8 @@ CHUNK_S = 25
 
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data chunking: split each document into fixed-size token
-    windows (W=120 tokens, stride 100 -> 20-token overlap) — the
+    windows (CHUNK_W tokens, stride CHUNK_S -> CHUNK_W - CHUNK_S
+    tokens of overlap) — the
     context-window packing step an LLM-pretraining pipeline runs after
     cleaning/dedup. Pure JVM array ops (sequence/explode/slice), one
     narrow explode whose fan-out is len/stride per doc; no shuffle, so

@@ -212,3 +212,28 @@ def test_fused_channel_resume_is_noop_and_requires_part_id(spark, sf_dir, outdir
             num_partitions=N_PARTS,
             fused_channel=True,
         )
+
+
+def test_resume_refuses_partition_mode_mismatch(spark, docs, sf_dir, outdir):
+    """Fused mode partitions by pipeline.stripe_key (word weight),
+    non-fused by stable_part_id (span weight) — the same part_id holds
+    DIFFERENT documents under the two maps, so a cross-mode resume would
+    skip 'done' partitions whose documents the new mode never wrote.
+    The lineage records its mode and resume refuses a mismatch."""
+    run_checkpointed(spark, docs, outdir, num_partitions=N_PARTS)
+
+    small = _small_with_part_id(spark, sf_dir, N_PARTS)
+    with pytest.raises(ValueError, match="partitioning mode"):
+        run_checkpointed(
+            spark, small, outdir, num_partitions=N_PARTS, fused_channel=True
+        )
+    # resume=False starts over and is allowed to switch modes
+    res = run_checkpointed(
+        spark,
+        small,
+        outdir,
+        num_partitions=N_PARTS,
+        fused_channel=True,
+        resume=False,
+    )
+    assert res["processed"] > 0

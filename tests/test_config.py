@@ -76,11 +76,17 @@ def test_supported_langs_accepted(lang):
 
 
 @pytest.mark.parametrize("lang", ["ara", "ell", "aze_cyrl"])
-def test_tesseract_shaped_lang_accepted_with_warning(lang):
-    # ref ocr.py:450-493 accepts any INSTALLED model, not a fixed list;
-    # shaped-but-unmapped codes warn instead of failing
+def test_tesseract_shaped_lang_needs_opt_in(lang):
+    # ref ocr.py:450-493 rejects codes not in `tesseract --list-langs`;
+    # with no tesseract to probe, the default matches that fail-fast.
+    # allow_unknown_langs=True is the documented relaxation: shaped
+    # codes are accepted with a warning (deployments whose OCR runtime
+    # has more traineddata than the engine's known map).
+    with pytest.raises(ConfigError):
+        ExtractConfig(lang=lang)
     with pytest.warns(UserWarning, match="outside the engine's known map"):
-        assert ExtractConfig(lang=lang).lang == lang
+        cfg = ExtractConfig(lang=lang, allow_unknown_langs=True)
+        assert cfg.lang == lang
 
 
 def test_multi_lang_combo_accepted():

@@ -117,3 +117,38 @@ def test_deep_chain_converges_logarithmically(spark):
     well inside the budget."""
     got = _components(spark, [(i, i + 1) for i in range(100, 140)])
     assert got == {i: 100 for i in range(100, 141)}
+
+
+def test_reliable_checkpoint_path_matches_local(spark, tmp_path):
+    """checkpoint_dir= switches per-round lineage truncation from
+    executor-local blocks to RELIABLE checkpointing (the production path:
+    localCheckpoint blocks die with a lost executor once lineage is
+    truncated). Same fixpoint, and the rounds actually hit the dir."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = [(1, 2), (2, 3), (3, 4), (9, 10)]
+    rows = connected_components(_edges(spark, pairs), checkpoint_dir=ckpt).collect()
+    got = {r["node"]: r["cluster_id"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 10: 9}
+    # reliable checkpoints were written (at least edge list + one round)
+    ckpt_files = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert ckpt_files, "no reliable checkpoint data written"
+
+
+def test_simhash_null_text_does_not_fail_task(spark):
+    """A NULL text must not kill the whole task: F.split(NULL) hands the
+    pandas_udf a None. The coalesce-to-'' guard (kernel-era
+    ``(text or '').split()``) fingerprints null and '' identically."""
+    from pdf2ocr_spark.functions.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert set(fp) >= {1, 2, 3}
+    assert fp[1] == fp[2]  # null == '' after the guard
+    assert fp[3] != fp[1]
