@@ -10,8 +10,11 @@ Measures, on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
    throughput scaling efficiency between them — the sandbox stand-in for
    the north rule's N vs 4N executor criterion (BASELINE.md protocol).
 
-Output: {"metric": ..., "value": total_sec, "unit": "sec",
-         "queries": {...}, "sf": ..., "extract": {...}}
+Output: TWO JSON lines — a detail line first ({"metric": "..._detail",
+"queries_split": {name: {construct, eval}}, "extract": {...}}), then a
+compact headline line LAST ({"metric", "value", "unit", "sf",
+"scaling_efficiency", "queries": {name: total_sec}, "total_bench_sec"})
+kept under the driver's 2000-char tail capture so it always parses.
 """
 
 from __future__ import annotations
@@ -130,28 +133,41 @@ def _warm_python_workers(spark) -> None:
     ).mode("overwrite").save()
 
 
-def time_queries(spark) -> dict:
+def time_queries(spark) -> tuple[dict, dict]:
     """Best-of-2 wall time per query: host-noise bursts on this shared VM
     hit single runs with 5-10x spikes (untouched queries drift in
     lockstep); the min of two runs is the reproducible number.
 
-    The DataFrame CONSTRUCTION is inside the timed region: most queries
-    build lazily in milliseconds, but iterative operators (the
-    connected-components loop behind dedup_clusters) run driver-side
-    actions while building — excluding construction would hide their
-    real cost."""
+    Since round 3 the DataFrame CONSTRUCTION is inside the timed region:
+    most queries build lazily in milliseconds, but iterative operators
+    (the connected-components loop behind dedup_clusters) run driver-side
+    actions while building — excluding construction would hide their real
+    cost. Construction and evaluation are timed SEPARATELY (round-3
+    verdict ask: a construction-time blip — py4j plan building is
+    driver-side and noise-prone — must be distinguishable from a real
+    evaluation regression), each field min'd independently across runs.
+
+    Returns (totals, split): totals[name] = best total (the compact
+    headline map, back-compatible with r01/r02), split[name] =
+    {"construct": s, "eval": s} for the detail line."""
     from pdf2ocr_spark.plans import QUERIES
 
     _warm_python_workers(spark)
-    timings = {}
+    totals, split = {}, {}
     for name, fn in sorted(QUERIES.items()):
-        walls = []
+        walls, cons, evs = [], [], []
         for _ in range(2):
             t0 = time.perf_counter()
-            _evaluate(fn(spark, SF_DIR))
-            walls.append(time.perf_counter() - t0)
-        timings[name] = round(min(walls), 3)
-    return timings
+            df = fn(spark, SF_DIR)
+            t1 = time.perf_counter()
+            _evaluate(df)
+            t2 = time.perf_counter()
+            cons.append(t1 - t0)
+            evs.append(t2 - t1)
+            walls.append(t2 - t0)
+        totals[name] = round(min(walls), 3)
+        split[name] = {"construct": round(min(cons), 3), "eval": round(min(evs), 3)}
+    return totals, split
 
 
 def materialize_corpus(tile: int) -> str:
@@ -453,34 +469,54 @@ def main() -> None:
 
     spark = _fresh_spark(CPUS)
     try:
-        timings = time_queries(spark)
+        timings, timings_split = time_queries(spark)
         # flagship timing at full parallelism is also a "query"
         from pdf2ocr_spark.pipeline import run_pipeline
 
+        tc0 = time.perf_counter()
         df = run_pipeline(spark, SF_DIR, num_partitions=CPUS * 2)
-        t0 = time.perf_counter()
+        tc1 = time.perf_counter()
         _evaluate(df)
-        timings["extract_pipeline"] = round(time.perf_counter() - t0, 3)
+        tc2 = time.perf_counter()
+        timings["extract_pipeline"] = round(tc2 - tc0, 3)
+        timings_split["extract_pipeline"] = {
+            "construct": round(tc1 - tc0, 3),
+            "eval": round(tc2 - tc1, 3),
+        }
     finally:
         spark.stop()
 
     total = round(time.perf_counter() - t_total0, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "docs_per_sec_extraction",
-                "value": extract.get("headline", {}).get(
-                    "docs_per_sec", timings.get("extract_pipeline")
-                ),
-                "unit": "docs/sec" if extract else "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "extract": extract,
-                "total_bench_sec": total,
-            }
-        )
-    )
+    # Two stdout lines (round-3 verdict: the single detail-rich line
+    # outgrew the driver's 2000-char tail capture and parsed as null):
+    #   1. full detail — everything, for humans and the repo ledger;
+    #   2. LAST: a compact headline guaranteed to fit the tail window
+    #      completely, so the driver's JSON parse always has one whole
+    #      line (the tail keeps the END of stdout — the last line is the
+    #      one that must be small).
+    detail = {
+        "metric": "docs_per_sec_extraction_detail",
+        "queries_split": timings_split,
+        "extract": extract,
+    }
+    headline = {
+        "metric": "docs_per_sec_extraction",
+        "value": extract.get("headline", {}).get(
+            "docs_per_sec", timings.get("extract_pipeline")
+        ),
+        "unit": "docs/sec" if extract else "sec",
+        "sf": float(sf),
+        "scaling_efficiency": extract.get("scaling_efficiency"),
+        "queries": timings,
+        "total_bench_sec": total,
+    }
+    line = json.dumps(headline)
+    if len(line) > 1800:  # never let the headline outgrow the tail window
+        headline["queries"] = {"see": "queries_split in detail line above"}
+        line = json.dumps(headline)
+    print(json.dumps(detail))
+    print(line)
 
 
 if __name__ == "__main__":
