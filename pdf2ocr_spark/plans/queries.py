@@ -1087,15 +1087,101 @@ WHERE sample_bucket < (CASE WHEN lang = 'en' THEN {_SAMPLE_RATES_BP["en"]}
 """
 
 
-def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary table: top-K tokens by document frequency with
-    total term frequency. Two-level aggregation — per-(doc, token)
-    counts first, then per-token rollup — so both shuffles move
-    pre-combined partials (a countDistinct over raw tokens would expand
-    instead); the deterministic (df, tf, token) ordering + LIMIT
-    compiles to TakeOrderedAndProject, which keeps only K rows per
-    partition before the final merge — no global sort at 10^12 docs."""
+#: Zipf-vocabulary enrichment cap (distinct suffix ranks per base token).
+#: The driver corpus carries only ~31 distinct tokens, which makes every
+#: df-dependent behavior (top-K vocabulary, idf spread) degenerate
+#: (round-3 verdict #4). The driver table itself is fixed, so the richer
+#: vocabulary is a deterministic DERIVED relation both engines compute
+#: identically (no external data): token t at 0-based position i of doc d
+#: becomes  t_r  with  r = min(V, 2^32 // (h+1)),
+#: h = int(md5(d:i:t)[:8], 16) — an integer-exact Zipf-ish rank
+#: (P(r) ~ 1/r^2), so the derived corpus has a few thousand types with a
+#: realistic df spectrum: head ranks appear in every document, tail
+#: ranks are near-hapax. Integer-only arithmetic end-to-end — a float
+#: pow()/log() sampler could flip a rounding boundary between engines.
+#: NOT applied to the dedup family: their signal is the seeded near-dup
+#: pairs (mutant = copy under doc_id+10^7), and a doc_id-keyed suffix
+#: would give every mutant token a different suffix, erasing exactly the
+#: similarity the operators exist to detect.
+VOCAB_ZIPF_V = 4096
+
+
+def _enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with `text` replaced by its Zipf-enriched derivation
+    (see VOCAB_ZIPF_V). One narrow projection — a single-level
+    array transform fused with the scan; no shuffle, no Python."""
     docs = _documents(spark, sf_dir)
+    two32 = F.lit(4294967296).cast("long")
+
+    def enrich(t, i):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), i.cast("string"), t
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") + F.lit(1).cast("long")
+        # exact integer floor(2^32 / h) in pure codegen: subtracting the
+        # mod first makes the double division exact (a bare float divide
+        # can round across an integer boundary and diverge from the
+        # oracle's `//`)
+        rank = ((two32 - F.pmod(two32, h)) / h).cast("long")
+        return F.concat_ws(
+            "_", t, F.least(F.lit(VOCAB_ZIPF_V).cast("long"), rank).cast("string")
+        )
+
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.array_join(F.transform(F.split("text", " "), enrich), " ").alias("text"),
+    )
+
+
+#: DuckDB twin of _enriched_documents — WITH-clause body (no leading
+#: WITH) so consumers can prepend it to their own CTE chains. Multiple
+#: unnests in one SELECT zip positionally in DuckDB; string_agg ORDER BY
+#: pos rebuilds the text in token order.
+SQL_ENRICHED_DOCS_CTE = f"""
+enr_tok AS (
+    SELECT doc_id, lang, source, n_chars,
+           unnest(l) AS t, unnest(range(len(l))) AS pos
+    FROM (SELECT doc_id, lang, source, n_chars,
+                 string_split(text, ' ') AS l
+          FROM documents)
+),
+enriched_documents AS (
+    SELECT doc_id, lang, source, n_chars,
+           string_agg(
+               t || '_' || CAST(least({VOCAB_ZIPF_V},
+                   4294967296 // (CAST('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST(pos AS VARCHAR) || ':' || t
+                   ), 1, 8) AS BIGINT) + 1)) AS VARCHAR),
+               ' ' ORDER BY pos) AS text
+    FROM enr_tok
+    GROUP BY doc_id, lang, source, n_chars
+)
+"""
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table over the Zipf-enriched derivation: top-K
+    tokens by document frequency with total term frequency. Two-level
+    aggregation — per-(doc, token) counts first, then per-token rollup —
+    so both shuffles move pre-combined partials (a countDistinct over
+    raw tokens would expand instead); the deterministic (df, tf, token)
+    ordering + LIMIT compiles to TakeOrderedAndProject, which keeps only
+    K rows per partition before the final merge — no global sort at
+    10^12 docs."""
+    docs = _fan_out(_enriched_documents(spark, sf_dir))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
@@ -1109,8 +1195,10 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_VOCAB_STATS = f"""
-WITH tok AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+WITH {SQL_ENRICHED_DOCS_CTE},
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM enriched_documents
 ),
 per_doc AS (
     SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
@@ -1139,7 +1227,7 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition top-K, no global sort."""
     from pyspark.sql.window import Window
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan_out(_enriched_documents(spark, sf_dir))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfrel = per_doc.groupBy("token").agg(F.count("*").alias("df"))
@@ -1163,8 +1251,10 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_TFIDF = f"""
-WITH tok AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+WITH {SQL_ENRICHED_DOCS_CTE},
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM enriched_documents
 ),
 per_doc AS (
     SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
