@@ -1215,7 +1215,9 @@ TFIDF_TOP_K = 3
 
 
 def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document distinctive terms: top-K tokens by a tf-idf-style
+    """Per-document distinctive terms over the Zipf-enriched derivation
+    (see VOCAB_ZIPF_V — the raw corpus's ~31 types gave a flat idf):
+    top-K tokens by a tf-idf-style
     score. The idf is the RATIONAL (N * 10000) div df rather than
     ln(N/df): integer arithmetic is bit-identical across engines, while
     libm log implementations can disagree in the last ulp and flip a
@@ -1352,6 +1354,117 @@ FROM st
 """
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (Rae et al. 2021, the
+    standard pretraining corpus filters): per document,
+
+    - dup_word_frac_bp  = 10^4 * (n_words - n_distinct_words) / n_words
+      (fraction of word occurrences that repeat an earlier word);
+    - top_bigram_frac_bp = 10^4 * count(most frequent word bigram) /
+      n_bigrams (boilerplate-y texts concentrate mass in one bigram);
+    - is_repetitive: either fraction over the Gopher-ish thresholds.
+
+    All ratios are INTEGER basis points (floor division) so both engines
+    agree bit-for-bit. Plan shape at 10^12 docs: two independent
+    two-level aggregations (per-(doc,token) partials, then per-doc
+    rollup — both shuffles move pre-combined rows, never raw tokens) and
+    one doc_id equi-join of two already-partitioned per-doc relations;
+    no window, no global sort."""
+    docs = _fan_out(_documents(spark, sf_dir))
+    toks = F.split("text", " ")
+
+    words = docs.select("doc_id", F.explode(toks).alias("w"))
+    per_word = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    word_stats = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"), F.count("*").alias("n_distinct")
+    )
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    gram_stats = per_gram.groupBy("doc_id").agg(
+        F.max("c").alias("top_gram"), F.sum("c").alias("n_grams")
+    )
+
+    # exact integer floor: subtract the mod first (see _enriched_documents)
+    dup_bp = (
+        ((F.col("n_words") - F.col("n_distinct")) * 10000
+         - F.pmod((F.col("n_words") - F.col("n_distinct")) * 10000, F.col("n_words")))
+        / F.col("n_words")
+    ).cast("long")
+    top_bp = (
+        (F.col("top_gram") * 10000
+         - F.pmod(F.col("top_gram") * 10000, F.col("n_grams")))
+        / F.col("n_grams")
+    ).cast("long")
+    return (
+        word_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            dup_bp.alias("dup_word_frac_bp"),
+            F.coalesce(top_bp, F.lit(0)).cast("long").alias("top_bigram_frac_bp"),
+        )
+        .withColumn(
+            "is_repetitive",
+            (F.col("dup_word_frac_bp") > 6300)  # Gopher: >0.63 dup words
+            | (F.col("top_bigram_frac_bp") > 2000),  # >0.20 top-2gram mass
+        )
+    )
+
+
+SQL_QUALITY_REPETITION = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per_word AS (
+    SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+),
+word_stats AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct
+    FROM per_word GROUP BY doc_id
+),
+toklist AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(l) >= 2
+                       THEN list_transform(range(1, len(l)),
+                                           i -> l[i] || ' ' || l[i + 1])
+                       ELSE [] END) AS g
+    FROM toklist
+),
+per_gram AS (
+    SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+),
+gram_stats AS (
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS top_gram,
+           CAST(sum(c) AS BIGINT) AS n_grams
+    FROM per_gram GROUP BY doc_id
+)
+SELECT w.doc_id,
+       w.n_words,
+       ((w.n_words - w.n_distinct) * 10000) // w.n_words AS dup_word_frac_bp,
+       coalesce((g.top_gram * 10000) // g.n_grams, 0) AS top_bigram_frac_bp,
+       (((w.n_words - w.n_distinct) * 10000) // w.n_words > 6300
+        OR coalesce((g.top_gram * 10000) // g.n_grams, 0) > 2000)
+           AS is_repetitive
+FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ligature_roundtrip": q_ligature_roundtrip,
     "pt_clean": q_pt_clean,
@@ -1382,6 +1495,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf": q_doc_tfidf,
     "corpus_clean": q_corpus_clean,
     "quality_score": q_quality_score,
+    "quality_repetition": q_quality_repetition,
     "doc_fingerprint": q_fingerprint,
     "epub_lang_map": q_epub_lang_map,
     "tpch_pricing_summary": q_pricing_summary,
@@ -1449,5 +1563,6 @@ ORACLE_SQL: Dict[str, str] = {
     "vocab_stats": SQL_VOCAB_STATS,
     "doc_tfidf": SQL_DOC_TFIDF,
     "corpus_clean": _corpus_clean_sql(),
+    "quality_repetition": SQL_QUALITY_REPETITION,
     **_training_oracle_sql(),
 }
