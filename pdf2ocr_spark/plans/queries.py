@@ -1289,19 +1289,23 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data pipeline in one statement, composed from
     the registered building blocks: stratified sample (deterministic
     per-language quota) -> quality gate (composite score >= threshold)
+    -> repetition gate (Gopher dup-word / top-bigram filters)
     -> PII scrub -> context-window chunking of the scrubbed text.
     Output = the chunk relation a pretraining run would tokenize.
 
-    Plan shape: three doc_id equi-joins over per-doc relations (each a
+    Plan shape: four doc_id equi-joins over per-doc relations (each a
     narrow projection of the same scan — at 10^12 docs these co-partition
     on doc_id and AQE picks shuffle or broadcast per stats), then the
     shuffle-free sequence/explode/slice chunker."""
     sampled = q_sample_stratified(spark, sf_dir).select("doc_id", "lang")
     quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_bp")
+    rep = q_quality_repetition(spark, sf_dir).select("doc_id", "is_repetitive")
     scrub = q_pii_scrub(spark, sf_dir).select("doc_id", "scrubbed")
     base = (
         sampled.join(quality, "doc_id")
         .where(F.col("quality_bp") >= CLEAN_MIN_QUALITY_BP)
+        .join(rep, "doc_id")
+        .where(~F.col("is_repetitive"))
         .join(scrub, "doc_id")
     )
     toks = F.split("scrubbed", " ")
@@ -1333,13 +1337,16 @@ def _corpus_clean_sql() -> str:
     return f"""
 WITH sampled AS ({SQL_SAMPLE_STRATIFIED}),
 quality AS ({SQL_QUALITY_SCORE}),
+rep AS ({SQL_QUALITY_REPETITION}),
 scrub AS ({SQL_PII_SCRUB}),
 base AS (
     SELECT s.doc_id, s.lang, q.quality_bp, c.scrubbed
     FROM sampled s
     JOIN quality q USING (doc_id)
+    JOIN rep r USING (doc_id)
     JOIN scrub c USING (doc_id)
     WHERE q.quality_bp >= {CLEAN_MIN_QUALITY_BP}
+      AND NOT r.is_repetitive
 ),
 st AS (
     SELECT doc_id, lang, quality_bp, string_split(scrubbed, ' ') AS toks,
