@@ -31,11 +31,22 @@ import sys
 import time
 import urllib.request
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 CPUS = int(os.environ.get("EXPLODED_CPUS", "32"))
 N_HEAVY = int(os.environ.get("EXPLODED_HEAVY", "8"))
 PAGES_HEAVY = int(os.environ.get("EXPLODED_PAGES", "1000"))
 N_NORMAL = int(os.environ.get("EXPLODED_NORMAL", "2000"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: which span formats to emit. The page-parallel formats (text, html)
+#: are what the exploded path exists for; docx_para/markdown funnel
+#: through the whole-document paragraph FSM (applyInPandas per doc_id —
+#: inherently serial per document, operators/exploded.py docstring), so
+#: including them re-introduces a monster-doc straggler BY DESIGN.
+#: Measure both: FORMATS=text,html (headline) and FORMATS=all (funnel).
+FORMATS = tuple(
+    f for f in os.environ.get("EXPLODED_FORMATS", "text,html").split(",") if f
+)
 
 # one docgen page = SENTENCES_PER_PAGE * WORDS_PER_SENTENCE words
 from pdf2ocr_spark.kernel.docgen import (  # noqa: E402
@@ -78,8 +89,9 @@ def build_corpus(spark):
     return documents_to_docs(small)
 
 
-def task_summaries(spark) -> list[dict]:
-    """Per-stage task-duration quantiles from the Spark REST API."""
+def task_summaries(spark, min_stage_id: int = 0) -> list[dict]:
+    """Per-stage task-duration quantiles from the Spark REST API
+    (stages with id < min_stage_id — warmup/corpus-build — excluded)."""
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
 
@@ -90,6 +102,8 @@ def task_summaries(spark) -> list[dict]:
     out = []
     for st in get("/stages?status=COMPLETE"):
         sid, att = st["stageId"], st["attemptId"]
+        if sid < min_stage_id:
+            continue
         if st["numCompleteTasks"] < CPUS:  # only stages wide enough to skew
             continue
         try:
@@ -130,41 +144,99 @@ def main() -> None:
         shuffle_partitions=CPUS * 4,
         extra_confs={"spark.ui.enabled": "true", "spark.ui.port": "4055"},
     )
+    def run_one(corpus):
+        """Warmed, timed extraction over `corpus`; returns wall + the
+        dominant stage's task-duration quantiles. The warmup pass spawns
+        the session's Python/Arrow worker pool — otherwise the first
+        task on each core pays 1-5 s of worker startup, which reads as a
+        fake "straggler" in the task times."""
+        out_df = extract_spans_exploded(
+            corpus, formats=FORMATS, num_partitions=CPUS * 4
+        )
+        out_df.write.format("noop").mode("overwrite").save()  # warmup
+        first_timed_stage = (
+            max(
+                (
+                    s["stageId"]
+                    for s in json.load(
+                        urllib.request.urlopen(
+                            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+                            f"{spark.sparkContext.applicationId}/stages"
+                        )
+                    )
+                ),
+                default=-1,
+            )
+            + 1
+        )
+        t0 = time.perf_counter()
+        out_df.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        stages = task_summaries(spark, min_stage_id=first_timed_stage)
+        dom = max(stages, key=lambda s: s["stage_total_task_sec"])
+        return wall, dom, stages
+
+    def run_best(corpus, iters=3):
+        """Min-wall pass of `iters` (additive host noise — the
+        BENCH/BASELINE.md statistic); its stages are the clean-window
+        measurement."""
+        best = None
+        for _ in range(iters):
+            r = run_one(corpus)
+            if best is None or r[0] < best[0]:
+                best = r
+        return best
+
     try:
-        corpus = build_corpus(spark).localCheckpoint()  # freeze input
-        n_docs = corpus.count()
         from pyspark.sql import functions as F
 
+        corpus = build_corpus(spark).localCheckpoint()  # freeze input
+        n_docs = corpus.count()
         pages = corpus.select(
             F.sum(F.size("spans")).alias("n"),
             F.max(F.size("spans")).alias("mx"),
         ).first()
-        t0 = time.perf_counter()
-        extract_spans_exploded(corpus, num_partitions=CPUS * 4).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        wall = time.perf_counter() - t0
+        # CONTROL: the same background population with NO monster docs.
+        # Raw task-time spread at these small task sizes (~0.5-1 s p50)
+        # is dominated by host noise/GC, so the heavy-doc-ATTRIBUTABLE
+        # straggle is what the monster docs ADD over the control, not
+        # the absolute max/p75 ratio.
+        control = (
+            build_corpus.__wrapped__(spark)
+            if hasattr(build_corpus, "__wrapped__")
+            else corpus.where(~F.col("doc_id").startswith("heavy_"))
+        ).localCheckpoint()
+        n_pages_control = control.select(F.sum(F.size("spans"))).first()[0]
 
-        stages = task_summaries(spark)
-        # dominant stage = the one that burned the most executor time
-        dom = max(stages, key=lambda s: s["stage_total_task_sec"])
-        spread = round(dom["task_ms_max"] / max(dom["task_ms_p75"], 1.0), 3)
+        wall_h, dom_h, stages_h = run_best(corpus)
+        wall_c, dom_c, stages_c = run_best(control)
+
+        attribution = round(dom_h["task_ms_max"] / dom_c["task_ms_max"], 3)
         print(
             json.dumps(
                 {
                     "metric": "exploded_heavy_doc_skew",
+                    "formats": list(FORMATS),
                     "cpus": CPUS,
                     "docs": n_docs,
                     "heavy_docs": N_HEAVY,
                     "pages_per_heavy_target": PAGES_HEAVY,
                     "spans_total": int(pages["n"]),
+                    "spans_control": int(n_pages_control),
                     "spans_max_per_doc": int(pages["mx"]),
-                    "wall_sec": round(wall, 2),
-                    "dominant_stage": dom,
-                    "straggler_spread_max_over_p75": spread,
+                    "wall_sec": round(wall_h, 2),
+                    "wall_control_sec": round(wall_c, 2),
+                    "dominant_stage": dom_h,
+                    "dominant_stage_control": dom_c,
+                    "straggler_spread_max_over_p75": round(
+                        dom_h["task_ms_max"] / max(dom_h["task_ms_p75"], 1.0), 3
+                    ),
+                    "control_spread_max_over_p75": round(
+                        dom_c["task_ms_max"] / max(dom_c["task_ms_p75"], 1.0), 3
+                    ),
+                    "heavy_attributable_straggle": attribution,
                     "stages": sorted(
-                        stages,
-                        key=lambda s: -s["stage_total_task_sec"],
+                        stages_h, key=lambda s: -s["stage_total_task_sec"]
                     )[:6],
                 }
             )

@@ -166,6 +166,19 @@ def extract_spans_exploded(
             F.col("offset").alias("page_offset"),
             F.posexplode("paras").alias("para_idx", "para"),
         )
+        # The w_page window left everything hash-partitioned by doc_id,
+        # so WITHOUT this exchange the para explode and the Python wrap
+        # stage below inherit doc-level partitioning — a 1,000+-page
+        # monster document funnels its entire para relation through ONE
+        # task (measured: dominant-stage max task 4.3 s vs a 1.2 s
+        # no-monster control, BENCH/exploded_skew.py). Re-spreading to
+        # page granularity keeps the expensive per-para work balanced;
+        # only the cheap JVM row_number windows below re-collect per doc.
+        para_rows = para_rows.repartition(
+            *([num_partitions] if num_partitions else []),
+            "doc_id",
+            "page_offset",
+        )
         if "html" in want:
             w = Window.partitionBy("doc_id").orderBy("page_offset", "para_idx")
             out_parts.append(
