@@ -1361,6 +1361,84 @@ FROM st
 """
 
 
+#: sessionization gap: a new session starts after 30 min of inactivity
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (the classic
+    clickstream operator): per user, a new session starts when the gap
+    since the previous event exceeds SESSION_GAP_MIN minutes. The
+    events `ts` is TIMESTAMP_NTZ, so everything stays timezone-FREE:
+    the gap is NTZ subtraction vs an INTERVAL literal, and session
+    boundaries are emitted as fixed-width formatted strings
+    (yyyy-MM-dd HH:mm:ss.SSSSSS ≡ DuckDB's %Y-%m-%d %H:%M:%S.%f, both
+    zero-padded 6-digit microseconds — an epoch conversion would drag
+    the session timezone in).
+
+    Plan shape at 10^12 events: ONE shuffle+sort by user_id serves both
+    window functions (lag and the running is_new sum share a window
+    spec, so Catalyst plans a single Sort + Window pair), then the
+    session rollup groups on (user_id, session_no) — partials combine
+    map-side. This is also the batch twin of a
+    flatMapGroupsWithState sessionizer: same per-user event-time order,
+    same gap rule."""
+    from pyspark.sql.window import Window
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select("user_id", "event_id", "event_type", "value", "ts")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts") - prev > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), fmt).alias("session_start"),
+        F.date_format(F.max("ts"), fmt).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.floor(F.sum("value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("value_bp"),
+    )
+
+
+SQL_EVENTS_SESSIONIZED = f"""
+WITH e AS (
+    SELECT user_id, event_id, event_type, value, ts,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+s AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+                   THEN 1 ELSE 0 END AS is_new
+    FROM e
+),
+n AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM s
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS value_bp
+FROM n GROUP BY user_id, session_no
+"""
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates (Rae et al. 2021, the
     standard pretraining corpus filters): per document,
@@ -1508,6 +1586,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_pricing_summary": q_pricing_summary,
     "tpch_top_revenue": q_top_revenue_orders,
     "events_windowed": q_events_windowed,
+    "events_sessionized": q_events_sessionized,
     "media_decode": q_media_decode,
 }
 
@@ -1562,6 +1641,7 @@ ORACLE_SQL: Dict[str, str] = {
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
     "tpch_top_revenue": SQL_TOP_REVENUE,
     "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_sessionized": SQL_EVENTS_SESSIONIZED,
     "media_decode": SQL_MEDIA_DECODE,
     "pii_scrub": SQL_PII_SCRUB,
     "doc_chunks": SQL_DOC_CHUNKS,
