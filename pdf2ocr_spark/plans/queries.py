@@ -668,6 +668,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignments(_documents(spark, sf_dir))
 
 
+def q_dedup_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST step of the dedup pipeline, applied: the corpus with
+    cluster non-keepers REMOVED — pairs -> clusters -> keep-list ->
+    anti-join, the relation every downstream training stage actually
+    consumes. Plan: the cluster assignment's non-keeper projection is
+    tiny relative to the corpus, so the anti-join broadcasts at real
+    scale (AQE decides from stats); the corpus side is a narrow
+    projection, never shuffled."""
+    from pdf2ocr_spark.functions.dedup import dedup_cluster_assignments
+
+    docs = _documents(spark, sf_dir)
+    drop = (
+        dedup_cluster_assignments(docs)
+        .where(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _dedup_applied_sql() -> str:
+    from pdf2ocr_spark.functions.dedup_sql import SQL_DEDUP_CLUSTERS
+
+    return f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTERS})
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE NOT is_keeper)
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf2ocr_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -1565,6 +1597,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_full": q_dedup_exact_full,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_applied": q_dedup_applied,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "similarity_cosine_topk": q_cosine_topk,
@@ -1651,5 +1684,6 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_tfidf": SQL_DOC_TFIDF,
     "corpus_clean": _corpus_clean_sql(),
     "quality_repetition": SQL_QUALITY_REPETITION,
+    "dedup_applied": _dedup_applied_sql(),
     **_training_oracle_sql(),
 }
