@@ -1,0 +1,109 @@
+"""Stateful streaming sessionization: closed sessions match the batch
+events_sessionized query exactly (minus each user's still-open tail),
+and open sessions survive a stream restart via checkpointed state."""
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from pdf2ocr_spark.streaming.sessions import run_sessions_stream
+
+
+@pytest.fixture()
+def dirs():
+    root = tempfile.mkdtemp(prefix="ssess_")
+    d = {
+        "input": os.path.join(root, "in"),
+        "output": os.path.join(root, "out"),
+        "ckpt": os.path.join(root, "ckpt"),
+    }
+    os.makedirs(d["input"])
+    yield d
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _batch_sessions(spark, sf_dir):
+    """Batch ground truth, with boundaries parsed back to epoch us."""
+    from pdf2ocr_spark.plans.queries import q_events_sessionized
+
+    b = q_events_sessionized(spark, sf_dir).toPandas()
+    for col in ("session_start", "session_end"):
+        b[col.replace("session_", "session_") + "_us"] = (
+            pd.to_datetime(b[col]).astype("datetime64[us]").astype("int64")
+        )
+    return b.drop(columns=["session_start", "session_end"])
+
+
+def _canon(df):
+    cols = [
+        "user_id",
+        "session_no",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        "n_event_types",
+        "value_bp",
+    ]
+    return (
+        df[cols]
+        .astype("int64", errors="ignore")
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, dirs):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.write.mode("append").parquet(dirs["input"])
+    run_sessions_stream(spark, dirs["input"], dirs["output"], dirs["ckpt"])
+    got = spark.read.parquet(dirs["output"]).toPandas()
+
+    batch = _batch_sessions(spark, sf_dir)
+    # streaming emits CLOSED sessions only: batch minus each user's
+    # final session (the open tail held in state)
+    last = batch.groupby("user_id")["session_no"].transform("max")
+    expected = batch[batch["session_no"] < last]
+
+    assert len(got) == len(expected), (len(got), len(expected))
+    pd.testing.assert_frame_equal(
+        _canon(got).astype("int64"), _canon(expected).astype("int64")
+    )
+
+
+def test_open_sessions_survive_restart(spark, sf_dir, dirs):
+    """Events split across two separate stream RUNS: a user's session
+    that is still open at the end of run 1 must close in run 2 with the
+    run-1 start time (state restored from checkpoint), and nothing is
+    emitted twice."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).where(
+        "user_id < 20"
+    )
+    # split by median event_id: both halves contain events of most users
+    # (event ids are assigned in timestamp order by the generator)
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    ev.where(F.col("event_id") <= mid).write.mode("append").parquet(dirs["input"])
+    run_sessions_stream(spark, dirs["input"], dirs["output"], dirs["ckpt"])
+    n_after_first = len(spark.read.parquet(dirs["output"]).toPandas())
+
+    ev.where(F.col("event_id") > mid).write.mode("append").parquet(dirs["input"])
+    run_sessions_stream(spark, dirs["input"], dirs["output"], dirs["ckpt"])
+    got = spark.read.parquet(dirs["output"]).toPandas()
+    assert len(got) > n_after_first
+
+    # ground truth over the SAME complete event set
+    batch = _batch_sessions(spark, sf_dir)
+    users = set(ev.select("user_id").distinct().toPandas()["user_id"])
+    batch = batch[batch["user_id"].isin(users)]
+    last = batch.groupby("user_id")["session_no"].transform("max")
+    expected = batch[batch["session_no"] < last]
+
+    # no duplicate emissions across the two runs
+    assert not got.duplicated(["user_id", "session_no"]).any()
+    pd.testing.assert_frame_equal(
+        _canon(got).astype("int64"), _canon(expected).astype("int64")
+    )
