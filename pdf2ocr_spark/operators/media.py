@@ -166,3 +166,62 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+N_FRAMES = 4
+
+
+def sample_frames(media: DataFrame, n_frames: int = N_FRAMES, fake: bool = False) -> DataFrame:
+    """Video frame-sampling stage: each video row fans out to
+    ``n_frames`` frame rows at evenly spaced timestamps
+    ``ts_k = (k+1) * duration_ms // (n_frames + 1)`` — the 1->N
+    expansion INSIDE the Arrow batch that a real sampler performs (the
+    output relation is rows-per-frame, so the Spark plumbing — schema,
+    batch fan-out, partition inheritance from the media table — is what
+    this stage exercises).
+
+    STUB: real frame extraction needs ffmpeg, which this container does
+    not ship — ``fake=False`` (default) raises ``NotImplementedError``
+    naming it. With ``fake=True`` the frame content hash is the
+    deterministic ``int(md5('frame:<ref>:<k>')[:8], 16)``, SQL-derivable
+    so the whole stage is oracle-checkable (plans.q_media_frames)."""
+    vids = media.where(F.col("media_type") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "media_ref", "frame_idx", "frame_ts_ms", "frame_hash"]
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, meta in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["meta"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        "video frame sampling requires ffmpeg — not "
+                        "available in this environment; pass fake=True to "
+                        "exercise the pipeline with the deterministic stub"
+                    )
+                dur = (
+                    meta.get("duration_ms")
+                    if isinstance(meta, dict)
+                    else meta["duration_ms"]
+                )
+                for k in range(n_frames):
+                    ts = (k + 1) * int(dur) // (n_frames + 1)
+                    fh = int(
+                        hashlib.md5(f"frame:{ref}:{k}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    rows.append((doc_id, ref, k, ts, fh))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return vids.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -599,6 +599,61 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked video frame-sampling stage (operators/media.py
+    sample_frames): the same SQL-derivable ref set as media_decode,
+    filtered to video rows, fanned out 1->N_FRAMES inside the Arrow
+    batch at evenly spaced timestamps; the fake frame hash is the
+    deterministic md5('frame:<ref>:<k>') both engines compute."""
+    from pdf2ocr_spark.operators.media import sample_frames, synthesize_payloads
+
+    refs = (
+        _documents(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(
+                F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/0")
+            ).alias("media_ref"),
+        )
+    )
+    return sample_frames(synthesize_payloads(refs), fake=True)
+
+
+# mirrors operators/media.py sample_frames: video rows are
+# md5('media:'||ref)[0]%3 == 2; duration_ms = md5 byte 5 * 250
+# (substr(mh,9,2)); frame ts = (k+1)*duration // (N_FRAMES+1); frame
+# hash = first 32 bits of md5('frame:'||ref||':'||k).
+SQL_MEDIA_FRAMES = """
+WITH refs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           'media://' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref
+    FROM documents WHERE doc_id < 200
+),
+seeded AS (
+    SELECT doc_id, media_ref, md5('media:' || media_ref) AS mh FROM refs
+),
+vids AS (
+    SELECT doc_id, media_ref,
+           CAST('0x' || substr(mh, 9, 2) AS INT) * 250 AS duration_ms
+    FROM seeded
+    WHERE CAST('0x' || substr(mh, 1, 2) AS INT) % 3 = 2
+),
+frames AS (
+    SELECT doc_id, media_ref, duration_ms,
+           unnest(range(4)) AS frame_idx
+    FROM vids
+)
+SELECT doc_id, media_ref,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST((frame_idx + 1) * duration_ms // 5 AS INT) AS frame_ts_ms,
+       CAST('0x' || substr(
+           md5('frame:' || media_ref || ':' || CAST(frame_idx AS VARCHAR)),
+           1, 8) AS BIGINT) AS frame_hash
+FROM frames
+"""
+
+
 # mirrors operators/media.py exactly: media_type = md5('media:'||ref)[0]%3,
 # n_bytes = 256 + byte1*16 (always a multiple of 16), payload = the
 # 'payload:'||ref digest repeated n_bytes/16 times, feature bytes = the
@@ -1621,6 +1676,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "events_sessionized": q_events_sessionized,
     "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
 }
 
 
@@ -1676,6 +1732,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
     "media_decode": SQL_MEDIA_DECODE,
+    "media_frames": SQL_MEDIA_FRAMES,
     "pii_scrub": SQL_PII_SCRUB,
     "doc_chunks": SQL_DOC_CHUNKS,
     "similarity_ann_recall": _ann_recall_sql(),

@@ -58,3 +58,35 @@ def test_decode_fake_features(media_df):
     assert (visual["thumb_w"] <= 32).all()
     audio = feats[feats["media_type"] == "audio"]
     assert audio["thumb_w"].isna().all()
+
+
+def test_frame_sampling_contract(spark, sf_dir):
+    """sample_frames: video rows fan out 1->N_FRAMES at evenly spaced
+    timestamps; non-video rows are filtered before the kernel; the
+    default (non-fake) path raises naming the missing decoder. Full
+    DuckDB value parity runs in test_oracle_parity (media_frames)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pdf2ocr_spark.operators.media import (
+        N_FRAMES,
+        media_table,
+        sample_frames,
+    )
+    from pdf2ocr_spark.pipeline import load_docs_corpus
+
+    media = media_table(load_docs_corpus(spark, sf_dir)).cache()
+    n_videos = media.where("media_type = 'video'").count()
+    frames = sample_frames(media, fake=True).toPandas()
+    assert len(frames) == n_videos * N_FRAMES
+    per = frames.groupby("media_ref")
+    assert (per["frame_idx"].count() == N_FRAMES).all()
+    # timestamps strictly increasing within a video, inside its duration
+    assert (per["frame_ts_ms"].apply(lambda s: s.is_monotonic_increasing)).all()
+    # deterministic: same input -> same hashes
+    again = sample_frames(media, fake=True).toPandas()
+    assert sorted(frames["frame_hash"]) == sorted(again["frame_hash"])
+    # stub is honest: real path names its missing dependency
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(media).collect()
+    media.unpersist()
