@@ -19,9 +19,22 @@ worker pools per executor) — the failure modes a local[N] thread pool
 cannot exhibit. Same corpus and same decomposition as BENCH/job_pair.py
 (kernel_cpu from lineage; byte_wall = write wall − kernel_cpu/cores).
 
+Two modes:
+- SA_MODE=job (default): the full checkpointed job (jobs/run_extract.py
+  — scan, small-row shuffle, fused kernel, parquet sink, lineage
+  verify). The end-to-end statement.
+- SA_MODE=stage: the EXTRACTION STAGE alone over the pre-materialized
+  weight-striped corpus (the bench's official pair, bench.py
+  extract_run, now on real executors): parquet scan -> mapInArrow
+  kernel -> noop sink, zero shuffle. This is the north rule's
+  ">= 0.8 N -> 4N" criterion in its most faithful form — real executor
+  processes, per-executor Python pools, no single-writer sink in the
+  way. Each level runs several in-JVM iterations; min is taken.
+
 Usage: python BENCH/standalone_pair.py   (prints one JSON line)
-Env:   SA_ROUNDS (3), SA_TILE (100), SA_PARTS (128),
-       SA_SF (/root/testdata/sf0.1).
+Env:   SA_MODE (job), SA_ROUNDS (3), SA_TILE (100), SA_PARTS (128),
+       SA_ITERS (3, stage mode in-JVM iterations), SA_SF
+       (/root/testdata/sf0.1).
 The cluster is torn down afterwards even on failure.
 """
 
@@ -45,6 +58,8 @@ SF = os.environ.get("SA_SF", "/root/testdata/sf0.1")
 TILE = int(os.environ.get("SA_TILE", "100"))
 PARTS = int(os.environ.get("SA_PARTS", "128"))
 ROUNDS = int(os.environ.get("SA_ROUNDS", "3"))
+MODE = os.environ.get("SA_MODE", "job")
+STAGE_ITERS = int(os.environ.get("SA_ITERS", "3"))
 MASTER_PORT = 7077
 MASTER_REST = "http://127.0.0.1:8090/json/"
 N_WORKERS = 4
@@ -132,6 +147,78 @@ def _zip_pkg(tmp: str) -> str:
     return zp
 
 
+STAGE_SCRIPT = """
+import time
+from pyspark.sql import SparkSession
+from pdf2ocr_spark.operators.extract import extract_spans_arrow
+spark = SparkSession.builder.getOrCreate()
+docs = spark.read.parquet({cache!r})
+probe = docs.limit(2000)   # warm the per-executor Python worker pools
+extract_spans_arrow(probe).write.format("noop").mode("overwrite").save()
+for _ in range({iters}):
+    t0 = time.perf_counter()
+    extract_spans_arrow(docs).write.format("noop").mode("overwrite").save()
+    print("WALL_SEC", time.perf_counter() - t0)
+spark.stop()
+"""
+
+
+def _corpus_cache() -> tuple[str, int]:
+    """Materialize the weight-striped corpus with the bench's own
+    builder (local session, BEFORE the cluster starts), return
+    (path, docs)."""
+    sys.path.insert(0, REPO)
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", SF)
+    import bench
+
+    cache = bench.materialize_corpus(TILE)
+    counts = bench.corpus_counts(TILE)
+    return cache, counts["docs"]
+
+
+def run_stage(cores_max: int, zp: str, tmp: str, cache: str, docs: int) -> dict:
+    script = os.path.join(tmp, "stage.py")
+    with open(script, "w") as f:
+        f.write(STAGE_SCRIPT.format(cache=cache, iters=STAGE_ITERS))
+    cmd = [
+        "taskset", "-c", DRIVER_CORES,
+        os.path.join(SPARK_HOME, "bin", "spark-submit"),
+        "--master", f"spark://127.0.0.1:{MASTER_PORT}",
+        "--driver-memory", "8g",
+        "--conf", f"spark.cores.max={cores_max}",
+        "--conf", f"spark.executor.cores={CORES_PER_WORKER}",
+        "--conf", "spark.executor.memory=12g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.sql.shuffle.partitions={cores_max}",
+        "--conf", "spark.sql.files.maxPartitionBytes=1m",
+        "--conf", "spark.sql.files.openCostInBytes=0",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=128",
+        "--conf", f"spark.pyspark.python={PY}",
+        "--py-files", zp,
+        script,
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=900, cwd=tmp
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"stage cores.max={cores_max} failed: {proc.stderr[-2000:]}"
+        )
+    walls = sorted(
+        float(l.split()[1])
+        for l in proc.stdout.splitlines()
+        if l.startswith("WALL_SEC")
+    )
+    return {
+        "executors": cores_max // CORES_PER_WORKER,
+        "cores": cores_max,
+        "wall_sec": round(walls[0], 3),
+        "walls": [round(w, 3) for w in walls],
+        "docs": docs,
+        "docs_per_sec": round(docs / walls[0], 1),
+    }
+
+
 def run_job(cores_max: int, zp: str, tmp: str) -> dict:
     out = os.path.join(tmp, f"out_c{cores_max}")
     shutil.rmtree(out, ignore_errors=True)
@@ -188,11 +275,23 @@ def main() -> None:
     procs = []
     try:
         zp = _zip_pkg(tmp)
+        if MODE == "stage":
+            cache, docs = _corpus_cache()  # local session, pre-cluster
         procs = start_cluster(tmp)
         levels = (4, 16)  # cores.max -> 1 vs 4 executors
         runs: dict[int, list[dict]] = {c: [] for c in levels}
         for r in range(ROUNDS):
             for c in levels:  # interleave
+                if MODE == "stage":
+                    res = run_stage(c, zp, tmp, cache, docs)
+                    res["round"] = r
+                    runs[c].append(res)
+                    print(
+                        f"# round {r} {res['executors']}x executors "
+                        f"(stage): walls {res['walls']}",
+                        file=sys.stderr,
+                    )
+                    continue
                 res = run_job(c, zp, tmp)
                 res["round"] = r
                 runs[c].append(res)
@@ -202,6 +301,41 @@ def main() -> None:
                     f" byte {res['byte_wall_sec']}s",
                     file=sys.stderr,
                 )
+
+        if MODE == "stage":
+            def best_stage(c: int) -> dict:
+                rs = runs[c]
+                walls = sorted(w for r in rs for w in r["walls"])
+                return {
+                    "executors": rs[0]["executors"],
+                    "cores": c,
+                    "docs": docs,
+                    "wall_sec": walls[0],
+                    "docs_per_sec": round(docs / walls[0], 1),
+                    "all_walls": walls,
+                }
+
+            small, big = best_stage(4), best_stage(16)
+            ratio = big["cores"] / small["cores"]
+            print(
+                json.dumps(
+                    {
+                        "metric": "standalone_cluster_stage_pair",
+                        "sf": SF,
+                        "tile": TILE,
+                        "rounds": ROUNDS,
+                        "iters_per_round": STAGE_ITERS,
+                        "cluster": f"{N_WORKERS} pinned workers x "
+                                   f"{CORES_PER_WORKER} cores",
+                        "small": small,
+                        "big": big,
+                        "scaling_efficiency": round(
+                            small["wall_sec"] / (ratio * big["wall_sec"]), 3
+                        ),
+                    }
+                )
+            )
+            return
 
         def best(c: int) -> dict:
             rs = runs[c]
