@@ -1448,6 +1448,107 @@ FROM st
 """
 
 
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (functions/temporal.py): every click event joined to
+    the most recent view event at-or-before it by the same user — the
+    operator Spark lacks natively, composed as tag-union-window (ONE
+    shuffle+sort per key; a naive inequality join would plan
+    BroadcastNestedLoop). Oracle = DuckDB's NATIVE ASOF LEFT JOIN, so
+    the composition is checked against a first-class implementation.
+    Timestamps emit as fixed-width strings (timezone-free NTZ path);
+    the matched view's value as integer bp."""
+    from pdf2ocr_spark.functions.temporal import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", ts="ts",
+        right_payload=("ts", "view_id", "value"),
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts"),
+        F.col("asof_view_id").alias("view_id"),
+        F.date_format("asof_ts", _TS_FMT).alias("view_ts"),
+        F.floor(F.col("asof_value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("view_value_bp"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH clicks AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'
+),
+views AS (
+    SELECT user_id, ts, event_id AS view_id, value FROM events
+    WHERE event_type = 'view'
+)
+SELECT l.click_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       r.view_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       CAST(floor(r.value * 10000 + 0.5) AS BIGINT) AS view_value_bp
+FROM clicks l
+ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded RANGE join (functions/temporal.py): per error event, the
+    count of click events by the same user in the trailing 5 minutes.
+    Both sides band into epoch-aligned 5-minute buckets and equi-join
+    on (user, band) with the error side exploded to the two reachable
+    bands — a shuffled hash join with band-bounded fan-out instead of
+    the nested-loop plan a raw inequality join gets. Oracle = DuckDB's
+    native inequality join."""
+    from pdf2ocr_spark.functions.temporal import range_count_join
+
+    ev = _table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_count_join(errors, clicks, on="user_id", ts="ts",
+                           width="5 minutes")
+    return out.select(
+        "error_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("error_ts"),
+        F.col("n_in_range").alias("n_clicks_5min"),
+    )
+
+
+SQL_EVENTS_RANGE = """
+WITH errors AS (
+    SELECT event_id AS error_id, user_id, ts FROM events
+    WHERE event_type = 'error'
+),
+clicks AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT e.error_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+       count(c.ts) AS n_clicks_5min
+FROM errors e
+LEFT JOIN clicks c
+  ON c.user_id = e.user_id
+ AND c.ts > e.ts - INTERVAL 5 MINUTE
+ AND c.ts <= e.ts
+GROUP BY e.error_id, e.user_id, e.ts
+"""
+
+
 #: sessionization gap: a new session starts after 30 min of inactivity
 SESSION_GAP_MIN = 30
 
@@ -1675,6 +1776,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_revenue": q_top_revenue_orders,
     "events_windowed": q_events_windowed,
     "events_sessionized": q_events_sessionized,
+    "events_asof": q_events_asof,
+    "events_range": q_events_range,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
 }
@@ -1731,6 +1834,8 @@ ORACLE_SQL: Dict[str, str] = {
     "tpch_top_revenue": SQL_TOP_REVENUE,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
+    "events_asof": SQL_EVENTS_ASOF,
+    "events_range": SQL_EVENTS_RANGE,
     "media_decode": SQL_MEDIA_DECODE,
     "media_frames": SQL_MEDIA_FRAMES,
     "pii_scrub": SQL_PII_SCRUB,
