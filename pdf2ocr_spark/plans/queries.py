@@ -1549,6 +1549,72 @@ GROUP BY e.error_id, e.user_id, e.ts
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup (the TimescaleDB continuous-
+    aggregate pattern): hourly per-type aggregates, and DAILY aggregates
+    computed FROM the hourly partials — never re-scanning raw events.
+    At 10^12 events the hourly relation is ~5 orders of magnitude
+    smaller than raw, so the coarser grain costs one tiny shuffle; the
+    output unions both grains into one continuous-aggregate relation.
+    Sums roll up as integer bp (floor at the HOURLY grain, then integer
+    sums upward — floats never cross a grain boundary, so the daily
+    values are exactly the sums of the published hourly rows, the
+    invariant a rollup table must satisfy)."""
+    ev = _table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.window("ts", "1 hour")["start"].alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.sum("value") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("value_bp"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.window("bucket", "1 day")["start"].alias("bucket"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_bp").alias("value_bp"),
+        )
+    )
+    fmt = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("grain"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "value_bp",
+    )
+    return fmt(hourly, "hour").unionByName(fmt(daily, "day"))
+
+
+SQL_EVENTS_ROLLUP = """
+WITH hourly AS (
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+           count(*) AS n_events,
+           CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS value_bp
+    FROM events GROUP BY 1, 2
+),
+daily AS (
+    SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS bucket,
+           event_type,
+           sum(n_events) AS n_events, sum(value_bp) AS value_bp
+    FROM hourly GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, CAST(n_events AS BIGINT) AS n_events, value_bp
+FROM hourly
+UNION ALL
+SELECT 'day' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(value_bp AS BIGINT) AS value_bp
+FROM daily
+"""
+
+
 #: sessionization gap: a new session starts after 30 min of inactivity
 SESSION_GAP_MIN = 30
 
@@ -1778,6 +1844,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionized": q_events_sessionized,
     "events_asof": q_events_asof,
     "events_range": q_events_range,
+    "events_rollup": q_events_rollup,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
 }
@@ -1836,6 +1903,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range": SQL_EVENTS_RANGE,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "media_decode": SQL_MEDIA_DECODE,
     "media_frames": SQL_MEDIA_FRAMES,
     "pii_scrub": SQL_PII_SCRUB,
