@@ -166,7 +166,12 @@ def ivf_assign_udf(centroids: list):
     return assign
 
 
-def ivf_topk(embeddings: DataFrame, k: int = TOP_K, n_cells: int = IVF_K) -> DataFrame:
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_cells: int = IVF_K,
+    centroids: list | None = None,
+) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second ANN scale path
     next to ann_lsh_topk: a deterministic coarse quantizer (centroids =
     the first ``n_cells`` vectors; a trained k-means would slot in
@@ -178,12 +183,13 @@ def ivf_topk(embeddings: DataFrame, k: int = TOP_K, n_cells: int = IVF_K) -> Dat
     IVF approximation, deterministic in both engines."""
     from pyspark.sql.window import Window
 
-    cent_rows = (
-        embeddings.where(F.col("vec_id") < n_cells)
-        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .collect()
-    )
-    centroids = [r["e"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])]
+    if centroids is None:
+        cent_rows = (
+            embeddings.where(F.col("vec_id") < n_cells)
+            .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+            .collect()
+        )
+        centroids = [r["e"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])]
 
     assign = ivf_assign_udf(centroids)
     base = (
@@ -341,3 +347,107 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
             F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_bp"),
         )
     )
+
+
+KMEANS_SCALE = 1_000_000  # fixed-point micro-units for order-free sums
+
+
+def kmeans_train(
+    embeddings: DataFrame, n_cells: int = IVF_K, iters: int = 5
+) -> tuple:
+    """Distributed spherical k-means for the IVF coarse quantizer —
+    closes the ANN loop (train -> index -> search -> recall-eval): the
+    trained centroids slot straight into ``ivf_topk(centroids=...)``.
+
+    Lloyd iterations, Spark-shaped: per round ONE map-side assignment
+    (the same closure-shipped ``ivf_assign_udf`` kernel the index uses —
+    no join, no shuffle before the aggregate) and ONE K-row aggregation;
+    the driver touches exactly ``n_cells`` rows per round (bounded
+    collect, like the IVF index build).
+
+    RERUN-STABLE BY CONSTRUCTION: float sums over a shuffled relation
+    are partition-order-dependent, so a resumed 10^12-doc training job
+    could derive different centroids from the same data. Instead the
+    unit-normalized vectors are quantized to integer micro-units
+    (KMEANS_SCALE) and every per-cell reduction is an INTEGER sum —
+    commutative, order-free — with centroids recovered as exact
+    rationals. The per-point objective contributions are integer bp,
+    so the reported objective is order-free too. Spherical k-means
+    (argmax-cosine assignment + renormalized mean update) improves the
+    summed cosine monotonically; empty cells keep their previous
+    centroid. Returns (centroids, history): centroids is the
+    ``n_cells x dim`` float list for ivf_assign_udf, history the
+    per-iteration (objective_bp, n_nonempty) list."""
+    dim = len(embeddings.select(_as_double(F.col("embedding"))).first()[0])
+
+    base = (
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+        .select(
+            "vec_id",
+            F.transform(
+                "e", lambda x: F.round(x / F.col("nrm") * KMEANS_SCALE).cast("long")
+            ).alias("eq"),
+        )
+        .localCheckpoint()  # iterated over; don't replay the scan per round
+    )
+
+    # deterministic init: the first n_cells vectors (same rule as the
+    # untrained index), unit-quantized back to floats
+    init = base.where(F.col("vec_id") < n_cells).collect()
+    cents = [
+        [v / KMEANS_SCALE for v in r["eq"]]
+        for r in sorted(init, key=lambda r: r["vec_id"])
+    ]
+
+    history = []
+    for _ in range(iters):
+        C = np.asarray(cents, dtype=np.float64)
+
+        @F.pandas_udf("cell long, bp long")
+        def assign(embs: pd.Series) -> pd.DataFrame:
+            if len(embs) == 0:
+                return pd.DataFrame({"cell": [], "bp": []})
+            E = np.stack(
+                [np.asarray(v, dtype=np.float64) / KMEANS_SCALE for v in embs]
+            )
+            acc = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(C.shape[1]):
+                acc += E[:, d : d + 1] * C[None, :, d]
+            cell = np.argmax(acc, axis=1)
+            best = acc[np.arange(len(E)), cell]
+            return pd.DataFrame(
+                {
+                    "cell": cell.astype(np.int64),
+                    "bp": np.floor(best * 10000 + 0.5).astype(np.int64),
+                }
+            )
+
+        stats = (
+            base.withColumn("a", assign(F.col("eq")))
+            .groupBy(F.col("a.cell").alias("cell"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("a.bp").alias("obj_bp"),
+                *[
+                    F.sum(F.col("eq")[i]).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        obj = sum(r["obj_bp"] for r in stats)
+        by_cell = {r["cell"]: r for r in stats}
+        new_cents = []
+        for k in range(n_cells):
+            r = by_cell.get(k)
+            if r is None:
+                new_cents.append(cents[k])  # empty cell keeps its centroid
+                continue
+            v = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)
+            v /= KMEANS_SCALE * r["n"]  # exact rational -> float mean
+            n = float(np.sqrt((v * v).sum()))
+            new_cents.append((v / n if n > 0 else v).tolist())
+        cents = new_cents
+        history.append((int(obj), len(stats)))
+    return cents, history

@@ -1085,6 +1085,21 @@ FROM st
 """
 
 
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over a TRAINED coarse quantizer: 3 rounds of the
+    distributed spherical k-means (functions/similarity.kmeans_train —
+    integer-fixed-point sums, so the trained centroids are rerun-stable
+    on any partitioning), then the same ivf_topk probe path. Rows-only:
+    the Lloyd iteration is a driver loop over bounded K-row aggregates,
+    not a SQL expression; determinism + monotone objective are pinned
+    by test_similarity_quality."""
+    from pdf2ocr_spark.functions.similarity import ivf_topk, kmeans_train
+
+    emb = _embeddings(spark, sf_dir)
+    cents, _hist = kmeans_train(emb, iters=3)
+    return ivf_topk(emb, centroids=cents)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall of the LSH top-k against the exact
     cosine top-k, per query point (basis points for hash-stable
@@ -1827,6 +1842,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_recall": q_ann_recall,
     "doc_chunks": q_doc_chunks,
     "similarity_ivf": q_ivf_topk,
+    "similarity_ivf_trained": q_ivf_trained,
     "dedup_embedding_cosine": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "pii_scrub": q_pii_scrub,

@@ -147,3 +147,38 @@ def test_plane_coefs_match_sql(spark):
         want.setdefault(p, [0.0] * DIM)[d] = c
     for p in range(N_PLANES):
         assert _plane_coefs(p) == want[p], f"plane {p}"
+
+
+def test_kmeans_train_contract(spark, sf_dir):
+    """Distributed spherical k-means: objective monotone non-decreasing
+    across Lloyd rounds, rerun-stable centroids (integer-fixed-point
+    sums are partition-order-free), and the trained quantizer slots
+    into ivf_topk returning a full top-k per query."""
+    from pdf2ocr_spark.functions.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, hist = kmeans_train(emb, iters=3)
+    objs = [o for o, _n in hist]
+    assert all(b >= a for a, b in zip(objs, objs[1:])), hist
+    assert all(n >= 1 for _o, n in hist)
+
+    cents2, hist2 = kmeans_train(emb.repartition(7), iters=3)
+    assert cents == cents2, "centroids must not depend on partitioning"
+    assert hist == hist2
+
+    out = ivf_topk(emb, centroids=cents).toPandas()
+    n_q = emb.count()
+    expect_q = min(N_QUERIES, (n_q + 19) // 20)
+    # a query whose trained cell holds no OTHER vector legitimately
+    # returns nothing (IVF recall loss) — but most queries must probe a
+    # populated cell, and nobody exceeds top-k
+    assert 0 < out.query_id.nunique() <= expect_q
+    assert (out.groupby("query_id")["rank"].max() <= TOP_K).all()
+    assert (out.groupby("query_id")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1))
+    )).all()
