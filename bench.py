@@ -436,8 +436,13 @@ def main() -> None:
         # walls on this VM are noise-dominated and not reproducible
         # across harnesses; the pinned pair is.
         headline = dict(big)
+        # fullbox is informational (non-reproducible across harnesses);
+        # 3 iterations bound its cost so the official pair keeps the
+        # iteration budget
         fullbox = (
-            extract_run(CPUS, tile, counts=counts) if CPUS > BIG_CPUS else None
+            extract_run(CPUS, tile, counts=counts, iters=min(3, BENCH_ITERS))
+            if CPUS > BIG_CPUS
+            else None
         )
         if fullbox:
             fullbox.pop("counts", None)
