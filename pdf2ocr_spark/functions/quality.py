@@ -75,6 +75,25 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def quality_bp_expr(
+    text: Column | None = None, n_chars: Column | None = None
+) -> Column:
+    """The composite quality score as a single reusable COLUMN (bp):
+    length saturation + stopword ratio + lexical diversity. Shared by
+    the batch quality_score relation and the streaming clean pipeline
+    (streaming/clean.py), where a projection avoids the streaming
+    self-join a quality_score(…)-then-join formulation would plan."""
+    text = text if text is not None else F.col("text")
+    n_chars = n_chars if n_chars is not None else F.col("n_chars")
+    toks = _toks(text)
+    n = F.size(toks)
+    len_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    stop_ratio = _stop_hits(text, STOPWORDS["en"]) / n
+    diversity = F.size(F.array_distinct(toks)) / n
+    score = F.lit(0.4) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * diversity
+    return bp(score)
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Composite quality score: length saturation + stopword ratio +
     lexical diversity (1 - duplicate-token ratio). Deterministic weights."""
