@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ocr_roundtrip_adaptive"] = _q_ocr_roundtrip_adaptive
     out["media_features"] = _q_media_features
     out["extract_pipeline_paged"] = _q_extract_paged
+    # rows-only: the Lloyd loop is a driver iteration, not SQL-expressible
+    from pdf2ocr_spark.plans.queries import q_ivf_trained
+
+    out["similarity_ivf_trained"] = q_ivf_trained
     return out
 
 

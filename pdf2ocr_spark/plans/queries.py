@@ -1842,7 +1842,6 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_recall": q_ann_recall,
     "doc_chunks": q_doc_chunks,
     "similarity_ivf": q_ivf_topk,
-    "similarity_ivf_trained": q_ivf_trained,
     "dedup_embedding_cosine": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "pii_scrub": q_pii_scrub,
