@@ -201,10 +201,8 @@ def main() -> None:
         # is dominated by host noise/GC, so the heavy-doc-ATTRIBUTABLE
         # straggle is what the monster docs ADD over the control, not
         # the absolute max/p75 ratio.
-        control = (
-            build_corpus.__wrapped__(spark)
-            if hasattr(build_corpus, "__wrapped__")
-            else corpus.where(~F.col("doc_id").startswith("heavy_"))
+        control = corpus.where(
+            ~F.col("doc_id").startswith("heavy_")
         ).localCheckpoint()
         n_pages_control = control.select(F.sum(F.size("spans"))).first()[0]
 

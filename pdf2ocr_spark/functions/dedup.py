@@ -452,8 +452,21 @@ def connected_components(
     und = fwd.unionByName(
         edges.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr"))
     )
-    # materialize the edge list once; every round reuses these blocks
-    und = und.localCheckpoint() if not reliable else _pin(und)
+    # materialize the edge list once; every round reuses these blocks.
+    # Reliable mode checkpoints it EAGERLY and separately from the
+    # per-round pins: a non-eager checkpoint mark on an ANCESTOR of the
+    # round RDD is skipped by Spark's doCheckpoint (it stops at the
+    # first marked RDD, checkpointAllMarkedAncestors defaults false), so
+    # folding und into _pin would silently leave the edge list
+    # unmaterialized and every round would recompute it from source —
+    # exactly the cost the checkpoint mode exists to avoid. persist()
+    # first so the eager save reads cache instead of recomputing.
+    if reliable:
+        und_cache = und.persist()
+        und = und_cache.checkpoint(eager=True)
+        und_cache.unpersist()
+    else:
+        und = und.localCheckpoint()
     labels = _pin(
         und.groupBy("node").agg(F.min("nbr").alias("nbr_min"))
         .select("node", F.least("node", "nbr_min").alias("label"))

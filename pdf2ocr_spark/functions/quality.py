@@ -96,20 +96,21 @@ def quality_bp_expr(
 
 def quality_score(documents: DataFrame) -> DataFrame:
     """Composite quality score: length saturation + stopword ratio +
-    lexical diversity (1 - duplicate-token ratio). Deterministic weights."""
+    lexical diversity (1 - duplicate-token ratio). Deterministic
+    weights; the composite itself comes from quality_bp_expr so the
+    formula exists in exactly one place."""
     text = F.col("text")
     toks = _toks(text)
     n = F.size(toks)
     len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
     stop_ratio = _stop_hits(text, STOPWORDS["en"]) / n
     diversity = F.size(F.array_distinct(toks)) / n
-    score = F.lit(0.4) * len_score + F.lit(0.3) * stop_ratio + F.lit(0.3) * diversity
     return documents.select(
         "doc_id",
         bp(len_score).alias("len_score_bp"),
         bp(stop_ratio).alias("stop_ratio_bp"),
         bp(diversity).alias("diversity_bp"),
-        bp(score).alias("quality_bp"),
+        quality_bp_expr().alias("quality_bp"),
     )
 
 

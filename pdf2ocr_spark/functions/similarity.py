@@ -392,13 +392,18 @@ def kmeans_train(
         .localCheckpoint()  # iterated over; don't replay the scan per round
     )
 
-    # deterministic init: the first n_cells vectors (same rule as the
-    # untrained index), unit-quantized back to floats
-    init = base.where(F.col("vec_id") < n_cells).collect()
+    # deterministic init: the n_cells smallest vec_ids (ordered take —
+    # a `vec_id < n_cells` filter silently under-fills when ids are
+    # sparse or offset, and a short centroid list would IndexError in
+    # the empty-cell backfill below), unit-quantized back to floats
+    init = base.orderBy("vec_id").limit(n_cells).collect()
+    if not init:
+        raise ValueError("kmeans_train: embeddings relation is empty")
     cents = [
         [v / KMEANS_SCALE for v in r["eq"]]
         for r in sorted(init, key=lambda r: r["vec_id"])
     ]
+    n_cells = len(cents)  # clamp: fewer vectors than requested cells
 
     history = []
     for _ in range(iters):

@@ -85,7 +85,11 @@ def range_count_join(
         F.col(ts).alias("_r_ts"),
         band(ts).alias("_band"),
     )
-    l = left.withColumn(
+    # transient per-row id: the final regroup keys on the LEFT ROW, not
+    # its column values — without it two identical left rows would
+    # collapse into one output row (losing multiplicity). The id never
+    # leaves this operator, so its run-to-run instability is invisible.
+    l = left.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
         "_probe", F.explode(F.array(band(ts), band(ts) - iv))
     )
     joined = l.join(
@@ -98,8 +102,9 @@ def range_count_join(
     )
     grp = [F.col(c) for c in left.columns]
     return (
-        joined.groupBy(*grp)
+        joined.groupBy(F.col("_rid"), *grp)
         .agg(
             F.count(F.when(in_range, True)).alias("n_in_range")
         )
+        .drop("_rid")
     )

@@ -297,6 +297,16 @@ def run_checkpointed(
     done, done_modes = (
         _completed_partitions(spark, output_dir) if resume else (set(), set())
     )
+    if done and not done_modes:
+        # lineage predates part_mode recording: the map that produced it
+        # is UNKNOWN, so treating it as a match would reintroduce the
+        # wrong-documents-skipped bug for exactly the dirs most at risk
+        raise ValueError(
+            f"output_dir {output_dir!r} has completed partitions whose "
+            "lineage does not record a partitioning mode (written by an "
+            "older engine); cannot verify the doc->partition map matches "
+            f"this run's {mode!r}. Pass resume=False to start over."
+        )
     if done and done_modes - {mode}:
         # fused mode partitions by pipeline.stripe_key (word-count weight),
         # non-fused by stable_part_id (span-count weight): the same part_id

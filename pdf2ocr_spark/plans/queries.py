@@ -1481,8 +1481,17 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
-    views = ev.where(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    # dedupe the right side per (user, ts) keeping the max event_id:
+    # asof_join's tie rule ("last right row in sort order wins") and
+    # DuckDB ASOF's arbitrary pick would otherwise disagree whenever
+    # two views share a timestamp
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
     )
     out = asof_join(
         clicks, views, on="user_id", ts="ts",
@@ -1506,8 +1515,10 @@ WITH clicks AS (
     WHERE event_type = 'click'
 ),
 views AS (
-    SELECT user_id, ts, event_id AS view_id, value FROM events
-    WHERE event_type = 'view'
+    SELECT user_id, ts, max(event_id) AS view_id,
+           arg_max(value, event_id) AS value
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
 )
 SELECT l.click_id, l.user_id,
        strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,

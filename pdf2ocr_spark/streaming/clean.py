@@ -6,10 +6,14 @@ continuous — documents keep arriving — so this module runs the SAME
 stateless gates over a file-source documents stream, exactly-once via
 the stream checkpoint:
 
-    documents stream -> quality gate (functions/quality.quality_score)
-                     -> repetition gate (dup-word fraction)
+    documents stream -> quality gate (functions/quality.quality_bp_expr)
+                     -> repetition gate (dup-word + top-bigram, the SAME
+                        thresholds as quality_repetition/corpus_clean)
                      -> PII scrub -> context-window chunking
                      -> append-only chunk sink
+
+(The batch corpus_clean additionally runs the stratified SAMPLE first —
+a corpus-level decision, deliberately not a per-document stream gate.)
 
 Every stage is a stateless per-document projection/filter, so no
 watermark or state store is needed — exactly the property that makes
@@ -44,17 +48,60 @@ def clean_transform(docs: DataFrame) -> DataFrame:
     )
 
     toks_all = F.split("text", " ")
-    dup_bp = (
-        (F.size(toks_all) - F.size(F.array_distinct(toks_all))) * 10000
-        / F.size(toks_all)
-    ).cast("long")
+
+    def _floor_bp(num, den):
+        # exact integer floor(num*10000/den): subtract the mod first so
+        # the double division cannot round across an integer boundary
+        # (same rule as the batch queries)
+        scaled = num * 10000
+        return ((scaled - F.pmod(scaled, den)) / den).cast("long")
+
+    dup_bp = _floor_bp(
+        F.size(toks_all) - F.size(F.array_distinct(toks_all)), F.size(toks_all)
+    )
+    # top-bigram mass as a pure array expression (no explode, no agg —
+    # stream-safe): max run length in the SORTED bigram array == the
+    # most frequent bigram's count
+    grams = F.when(
+        F.size(toks_all) >= 2,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks_all) - 2),
+                lambda i: F.array_join(F.slice(toks_all, i + 1, 2), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.lit(0).cast("long")
+    top_gram = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bp = F.when(
+        F.size(grams) > 0, _floor_bp(top_gram, F.size(grams))
+    ).otherwise(zero)
     # quality as a PROJECTION, not a quality_score(...)-then-join: on a
     # stream the join would be a stateful stream-stream self-join (and
     # in batch, a second scan)
     base = (
         docs.withColumn("quality_bp", quality_bp_expr())
         .where(F.col("quality_bp") >= CLEAN_MIN_QUALITY_BP)
-        .where(dup_bp <= 6300)  # Gopher dup-word gate
+        # the quality_repetition gate, same thresholds
+        .where((dup_bp <= 6300) & (top_bp <= 2000))
     )
     scrubbed = F.regexp_replace(
         F.regexp_replace(

@@ -8,13 +8,18 @@ GroupState and survives micro-batch boundaries and stream restarts
 (checkpointed), so a session spanning three micro-batches is emitted
 exactly once, with the same boundaries the batch query computes.
 
-Semantics contract (pinned by test_streaming_sessions): over any event
-set, the emitted closed sessions are EXACTLY the batch query's sessions
-minus each user's final (still-open) session — the definition of
-correct incremental sessionization. A production deployment adds an
-event-time timeout (GroupStateTimeout.EventTimeTimeout + watermark) to
-flush sessions whose users went quiet; the flush path reuses the same
-state record.
+Semantics contract (pinned by test_streaming_sessions): for event
+streams that arrive per-user in event-time order ACROSS micro-batches
+(within a batch any order is fine — the group sorts), the emitted
+closed sessions are EXACTLY the batch query's sessions minus each
+user's final (still-open) session. Cross-batch LATE events (ts at or
+before the open session's last seen ts) are DROPPED and counted in
+state: closed sessions were already emitted in append mode, so reviving
+them would double-emit — dropping is the standard no-watermark late-
+data policy, made observable via the state's late counter. A production
+deployment adds an event-time timeout
+(GroupStateTimeout.EventTimeTimeout + watermark) to flush sessions
+whose users went quiet; the flush path reuses the same state record.
 
 State size at 10^12 events: ONE row per active user (session_no, start,
 last_ts, counters) — RocksDB state store on a real cluster; the
@@ -54,6 +59,7 @@ SESSIONS_STATE_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType()),
         T.StructField("value_sum", T.DoubleType()),
         T.StructField("event_types", T.StringType()),  # '\x1f'-joined set
+        T.StructField("n_late_dropped", T.LongType()),
     ]
 )
 
@@ -95,16 +101,23 @@ def _sessions_fn(
     pdf = pdf.sort_values(["ts_us", "event_id"])
 
     if state.exists:
-        no, start, last, n, vsum, types_s = state.get
+        no, start, last, n, vsum, types_s, n_late = state.get
         types = set(types_s.split(_SEP)) if types_s else set()
     else:
-        no, start, last, n, vsum, types = 0, None, None, 0, 0.0, set()
+        no, start, last, n, vsum, types, n_late = 0, None, None, 0, 0.0, set(), 0
 
     out = []
     for ts_us, etype, value in zip(
         pdf["ts_us"].astype("int64"), pdf["event_type"], pdf["value"]
     ):
         ts_us = int(ts_us)
+        if last is not None and ts_us < last:
+            # cross-batch LATE event (strictly before the open session's
+            # last seen ts): closed sessions already emitted in append
+            # mode, so merging could double-emit — drop, but observably
+            # (equal-ts events pass: the batch query counts them too)
+            n_late += 1
+            continue
         if start is None or ts_us - last > SESSION_GAP_US:
             if start is not None:
                 out.append(_close(user_id, no, start, last, n, types, vsum))
@@ -117,7 +130,7 @@ def _sessions_fn(
 
     state.update(
         (int(no), int(start), int(last), int(n), float(vsum),
-         _SEP.join(sorted(types)))
+         _SEP.join(sorted(types)), int(n_late))
     )
     yield pd.DataFrame(out, columns=cols)
 

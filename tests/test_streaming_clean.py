@@ -46,8 +46,25 @@ def test_streaming_clean_matches_batch(spark, sf_dir, dirs):
     got = spark.read.parquet(dirs["output"]).toPandas()
     want = clean_transform(docs).toPandas()
     assert len(want) > 0, "gates must keep some documents"
-    assert len(want) < docs.count() * 3, "gates must also drop documents"
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+    # cross-implementation gate parity: the streamed KEPT doc set must
+    # equal the batch quality + repetition gates (the corpus_clean
+    # stages minus the corpus-level sample) computed by the INDEPENDENT
+    # batch queries — not just clean_transform vs itself
+    from pdf2ocr_spark.plans.queries import (
+        CLEAN_MIN_QUALITY_BP,
+        q_quality_repetition,
+        q_quality_score,
+    )
+
+    rep = q_quality_repetition(spark, sf_dir).toPandas()
+    qual = q_quality_score(spark, sf_dir).toPandas()
+    expected_ids = set(
+        qual[qual["quality_bp"] >= CLEAN_MIN_QUALITY_BP]["doc_id"]
+    ) & set(rep[~rep["is_repetitive"]]["doc_id"])
+    assert set(got["doc_id"].astype("int64")) == {int(i) for i in expected_ids}
+    assert 0 < len(expected_ids) < docs.count(), "gates drop AND keep"
 
     # rerun over unchanged input = no-op (exactly-once via checkpoint)
     run_clean_stream(spark, dirs["input"], dirs["output"], dirs["ckpt"])
