@@ -107,3 +107,38 @@ def test_open_sessions_survive_restart(spark, sf_dir, dirs):
     pd.testing.assert_frame_equal(
         _canon(got).astype("int64"), _canon(expected).astype("int64")
     )
+
+
+def test_late_events_dropped_not_corrupting(spark, dirs):
+    """A cross-batch LATE event (older than the open session's last seen
+    ts) must be dropped — not regress the session end or fabricate a
+    bogus gap — so the already-emitted closed sessions stay correct."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-05-01 12:00:00")
+    mk = lambda eid, mins, u=1: {  # noqa: E731
+        "event_id": eid, "ts": base + pd.Timedelta(minutes=mins),
+        "user_id": u, "event_type": "view", "value": 1.0, "props": "{}",
+    }
+    # run 1: events at t0 and t0+10 (one open session)
+    df1 = spark.createDataFrame(pd.DataFrame([mk(1, 0), mk(2, 10)]))
+    df1 = df1.withColumn("ts", df1["ts"].cast("timestamp_ntz"))
+    df1.write.mode("append").parquet(dirs["input"])
+    run_sessions_stream(spark, dirs["input"], dirs["output"], dirs["ckpt"])
+
+    # run 2: a LATE event at t0-40 (before the open session) plus a
+    # legitimate event at t0+50 that closes the open session
+    df2 = spark.createDataFrame(pd.DataFrame([mk(3, -40), mk(4, 50)]))
+    df2 = df2.withColumn("ts", df2["ts"].cast("timestamp_ntz"))
+    df2.write.mode("append").parquet(dirs["input"])
+    run_sessions_stream(spark, dirs["input"], dirs["output"], dirs["ckpt"])
+
+    out = spark.read.parquet(dirs["output"]).toPandas()
+    # exactly ONE closed session: [t0, t0+10] with 2 events — the late
+    # event neither extended it backwards nor split it
+    assert len(out) == 1
+    row = out.iloc[0]
+    t0_us = base.value // 1000
+    assert row["session_start_us"] == t0_us
+    assert row["session_end_us"] == t0_us + 10 * 60 * 1_000_000
+    assert row["n_events"] == 2
