@@ -135,3 +135,30 @@ def test_sessionization_matches_reference(spark, tmp_path):
     per_user = got.groupby("user_id")["n_events"].sum()
     truth = ev.groupby("user_id")["event_id"].count()
     assert per_user.sort_index().equals(truth.sort_index().astype("int64"))
+
+
+def test_reliable_path_matches_union_find(spark, tmp_path):
+    """The reliable-checkpoint mode (persist + eager edge-list
+    checkpoint + per-round non-eager pins) computes the same fixpoint
+    as union-find on a random graph — covering the production path at
+    more than toy size."""
+    rng = np.random.RandomState(99)
+    a = rng.randint(0, 400, 700)
+    b = rng.randint(0, 400, 700)
+    edges = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+    want = _union_find(edges)
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path / "cc")
+        ).collect()
+    }
+    assert got == want
+    ckpt_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "cc"))
+        for f in fs
+    ]
+    assert ckpt_files, "reliable checkpoints must be written"
