@@ -425,8 +425,44 @@ def connected_components(
     silently returning a partial clustering.
     """
     reliable = checkpoint_dir is not None
+    sc = edges.sparkSession.sparkContext
+    # setCheckpointDir is a session-global mutation; snapshot and restore
+    # it (finally-guarded) so an unrelated later .checkpoint() in the
+    # same session doesn't silently land in this operator's directory
+    prev_ckpt_dir = sc.getCheckpointDir() if reliable else None
     if reliable:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
+    try:
+        return _cc_iterate(edges, max_iters, reliable)
+    finally:
+        if reliable:
+            _restore_checkpoint_dir(sc, prev_ckpt_dir)
+
+
+def _restore_checkpoint_dir(sc, prev: str | None) -> None:
+    """Put the session checkpoint dir back EXACTLY where it was.
+    getCheckpointDir returns the UUID-resolved path and the public
+    setter always nests a fresh UUID under its argument, so an exact
+    restore must write the Scala field directly; if that internal
+    setter ever disappears, fall back to the public setter — later
+    checkpoints then land one UUID deeper but still under the caller's
+    original parent directory (Option(null) clears the dir either way)."""
+    try:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(prev)
+        )
+    except Exception:
+        sc.setCheckpointDir(prev)
+
+
+def _cc_iterate(
+    edges: DataFrame, max_iters: int, reliable: bool
+) -> DataFrame:
+    """Label-propagation loop body of ``connected_components`` (split out
+    so the checkpoint-dir snapshot/restore can wrap it in one
+    try/finally). Every action — including the reliable checkpoints,
+    which save synchronously at job end — completes inside this call, so
+    restoring the dir afterwards is safe."""
     cached: list[DataFrame] = []
 
     def _pin(df: DataFrame) -> DataFrame:

@@ -23,6 +23,14 @@ LANGS = sorted(STOPWORDS)  # alphabetical = tie-break priority order
 
 FINGERPRINT_K = 4
 
+# Gopher repetition-gate thresholds, shared by the batch
+# quality_repetition query, its DuckDB oracle, and the streaming clean
+# pipeline — one definition so the batch/stream parity contract can't
+# silently drift (integer basis points: 0.63 dup-word mass, 0.20
+# top-bigram mass)
+DUP_WORD_MAX_BP = 6300
+TOP_BIGRAM_MAX_BP = 2000
+
 
 def _toks(text: Column) -> Column:
     return F.split(text, " ")

@@ -378,7 +378,13 @@ def kmeans_train(
     centroid. Returns (centroids, history): centroids is the
     ``n_cells x dim`` float list for ivf_assign_udf, history the
     per-iteration (objective_bp, n_nonempty) list."""
-    dim = len(embeddings.select(_as_double(F.col("embedding"))).first()[0])
+    # one fetch serves both the empty guard and the dim probe: first()
+    # is None on an empty relation and the embedding itself may be null
+    # — both must raise the contract's ValueError, not a TypeError
+    head = embeddings.select(_as_double(F.col("embedding"))).first()
+    if head is None or head[0] is None:
+        raise ValueError("embeddings relation is empty")
+    dim = len(head[0])
 
     base = (
         embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))

@@ -46,12 +46,16 @@ def asof_join(
     -> nulls). Right payload columns come back prefixed ``asof_``.
     Ties inside the right side must be pre-deduplicated by the caller
     if (on, ts) is not unique there."""
-    r_cols = {c: f"asof_{c}" for c in right_payload}
+    # The whole right payload rides in ONE struct column carried by a
+    # single last(ignorenulls=True): per-column carries would let a NULL
+    # field in the matched row fall back to an OLDER right row, mixing
+    # fields across rows and masking genuine NULLs. The struct is
+    # non-null whenever a right row exists, so NULL fields survive.
     rt = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(a) for c, a in r_cols.items()],
+        F.struct(*[F.col(c) for c in right_payload]).alias("_asof_payload"),
     )
     lt = left.withColumn("_side", F.lit(1))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
@@ -60,9 +64,16 @@ def asof_join(
         .orderBy(ts, "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for a in r_cols.values():
-        unioned = unioned.withColumn(a, F.last(a, ignorenulls=True).over(w))
-    return unioned.where(F.col("_side") == 1).drop("_side")
+    carried = unioned.withColumn(
+        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.col(f"_asof_payload.{c}").alias(f"asof_{c}")
+            for c in right_payload
+        ],
+    )
 
 
 def range_count_join(

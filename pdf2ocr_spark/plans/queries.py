@@ -32,6 +32,8 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf2ocr_spark.functions.quality import DUP_WORD_MAX_BP, TOP_BIGRAM_MAX_BP
+
 LINE_WORDS = 2
 PAGE_LINES = 10
 PAGE_WORDS = LINE_WORDS * PAGE_LINES
@@ -1582,8 +1584,9 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 10^12 events the hourly relation is ~5 orders of magnitude
     smaller than raw, so the coarser grain costs one tiny shuffle; the
     output unions both grains into one continuous-aggregate relation.
-    Sums roll up as integer bp (floor at the HOURLY grain, then integer
-    sums upward — floats never cross a grain boundary, so the daily
+    Sums roll up as integer bp (each event's value quantized to bp at
+    the EVENT grain, then integer sums upward — floats never enter any
+    aggregate, so every grain is partition-order-free and the daily
     values are exactly the sums of the published hourly rows, the
     invariant a rollup table must satisfy)."""
     ev = _table(spark, sf_dir, "events")
@@ -1593,9 +1596,13 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.floor(F.sum("value") * 10000 + F.lit(0.5))
-            .cast("long")
-            .alias("value_bp"),
+            # quantize PER EVENT (scalar floor on one double — identical
+            # IEEE result in both engines), then integer-sum: a
+            # floor(SUM(double)) is partition-order-dependent at a
+            # rounding boundary, the same trap kmeans_train avoids
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("value_bp"),
         )
     )
     daily = (
@@ -1621,7 +1628,8 @@ SQL_EVENTS_ROLLUP = """
 WITH hourly AS (
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
            count(*) AS n_events,
-           CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS value_bp
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_bp
     FROM events GROUP BY 1, 2
 ),
 daily AS (
@@ -1684,9 +1692,10 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), fmt).alias("session_end"),
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").alias("n_event_types"),
-        F.floor(F.sum("value") * 10000 + F.lit(0.5))
-        .cast("long")
-        .alias("value_bp"),
+        # per-event quantization -> order-free integer sum (see rollup)
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("value_bp"),
     )
 
 
@@ -1714,7 +1723,8 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_event_types,
-       CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS value_bp
+       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_bp
 FROM n GROUP BY user_id, session_no
 """
 
@@ -1782,13 +1792,16 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "is_repetitive",
-            (F.col("dup_word_frac_bp") > 6300)  # Gopher: >0.63 dup words
-            | (F.col("top_bigram_frac_bp") > 2000),  # >0.20 top-2gram mass
+            # shared Gopher thresholds (functions/quality.py): >0.63
+            # dup-word mass, >0.20 top-2gram mass — one definition with
+            # the streaming clean gate
+            (F.col("dup_word_frac_bp") > DUP_WORD_MAX_BP)
+            | (F.col("top_bigram_frac_bp") > TOP_BIGRAM_MAX_BP),
         )
     )
 
 
-SQL_QUALITY_REPETITION = """
+SQL_QUALITY_REPETITION = f"""
 WITH tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ),
@@ -1823,8 +1836,8 @@ SELECT w.doc_id,
        w.n_words,
        ((w.n_words - w.n_distinct) * 10000) // w.n_words AS dup_word_frac_bp,
        coalesce((g.top_gram * 10000) // g.n_grams, 0) AS top_bigram_frac_bp,
-       (((w.n_words - w.n_distinct) * 10000) // w.n_words > 6300
-        OR coalesce((g.top_gram * 10000) // g.n_grams, 0) > 2000)
+       (((w.n_words - w.n_distinct) * 10000) // w.n_words > {DUP_WORD_MAX_BP}
+        OR coalesce((g.top_gram * 10000) // g.n_grams, 0) > {TOP_BIGRAM_MAX_BP})
            AS is_repetitive
 FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
 """

@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf2ocr_spark.functions.quality import quality_bp_expr
+from pdf2ocr_spark.functions.quality import (
+    DUP_WORD_MAX_BP,
+    TOP_BIGRAM_MAX_BP,
+    quality_bp_expr,
+)
 
 
 def clean_transform(docs: DataFrame) -> DataFrame:
@@ -101,7 +105,7 @@ def clean_transform(docs: DataFrame) -> DataFrame:
         docs.withColumn("quality_bp", quality_bp_expr())
         .where(F.col("quality_bp") >= CLEAN_MIN_QUALITY_BP)
         # the quality_repetition gate, same thresholds
-        .where((dup_bp <= 6300) & (top_bp <= 2000))
+        .where((dup_bp <= DUP_WORD_MAX_BP) & (top_bp <= TOP_BIGRAM_MAX_BP))
     )
     scrubbed = F.regexp_replace(
         F.regexp_replace(

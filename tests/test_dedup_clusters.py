@@ -152,3 +152,27 @@ def test_simhash_null_text_does_not_fail_task(spark):
     assert set(fp) >= {1, 2, 3}
     assert fp[1] == fp[2]  # null == '' after the guard
     assert fp[3] != fp[1]
+
+
+def test_checkpoint_dir_restored_after_cc(spark, tmp_path):
+    """connected_components(checkpoint_dir=...) must not leave its
+    session-global setCheckpointDir mutation behind: a later unrelated
+    .checkpoint() would silently write into this operator's directory."""
+    from pdf2ocr_spark.functions.dedup import connected_components
+
+    sc = spark.sparkContext
+    prior = str(tmp_path / "prior_ckpt")
+    sc.setCheckpointDir(prior)
+    try:
+        before = sc.getCheckpointDir()
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (8, 9)], "doc_a long, doc_b long"
+        )
+        out = connected_components(
+            edges, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        )
+        assert out.count() == 5
+        assert sc.getCheckpointDir() == before, "checkpoint dir leaked"
+    finally:
+        # session-scoped fixture: leave no dir set for later tests
+        sc._jsc.sc().setCheckpointDir(None)

@@ -182,3 +182,15 @@ def test_kmeans_train_contract(spark, sf_dir):
     assert (out.groupby("query_id")["rank"].apply(
         lambda s: sorted(s) == list(range(1, len(s) + 1))
     )).all()
+
+
+def test_kmeans_train_empty_raises(spark):
+    """Empty relation (and null first embedding) hit the contract's
+    ValueError, not a TypeError from len(None)."""
+    import pytest
+
+    from pdf2ocr_spark.functions.similarity import kmeans_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_train(empty)

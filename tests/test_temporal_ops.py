@@ -1,0 +1,74 @@
+"""Unit contracts for the temporal join operators (functions/temporal.py)
+beyond what the DuckDB-oracle queries cover: NULL-payload fidelity of the
+as-of carry, no-match semantics, and left-row multiplicity. The oracle
+corpus has dense non-null payloads, so these edge rules need direct pins.
+"""
+
+from pyspark.sql import functions as F
+
+from pdf2ocr_spark.functions.temporal import asof_join, range_count_join
+
+
+def test_asof_null_field_not_backfilled(spark):
+    """A NULL field in the MATCHED (most recent) right row must surface
+    as NULL — not fall back to an older right row's value. Per-column
+    last(ignorenulls) carries would mix fields across right rows; the
+    single-struct carry keeps every asof_* field from one row."""
+    right = spark.createDataFrame(
+        [("u", 1, 10, "old"), ("u", 5, None, "new")],
+        "user_id string, ts long, a int, b string",
+    )
+    left = spark.createDataFrame(
+        [("u", 7)], "user_id string, ts long"
+    )
+    out = asof_join(
+        left, right, on="user_id", ts="ts", right_payload=("a", "b")
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    # matched row is ts=5: a is genuinely NULL there, b is "new"
+    assert row.asof_a is None, "NULL in matched row leaked an older value"
+    assert row.asof_b == "new"
+
+
+def test_asof_no_match_is_all_null(spark):
+    right = spark.createDataFrame(
+        [("u", 10, 1)], "user_id string, ts long, a int"
+    )
+    left = spark.createDataFrame(
+        [("u", 3), ("v", 99)], "user_id string, ts long"
+    )
+    out = {
+        (r.user_id, r.ts): r.asof_a
+        for r in asof_join(
+            left, right, on="user_id", ts="ts", right_payload=("a",)
+        ).collect()
+    }
+    assert out == {("u", 3): None, ("v", 99): None}
+
+
+def test_asof_equal_ts_matches(spark):
+    """Right rows sort BEFORE left rows at equal ts: at-or-before."""
+    right = spark.createDataFrame(
+        [("u", 5, 42)], "user_id string, ts long, a int"
+    )
+    left = spark.createDataFrame([("u", 5)], "user_id string, ts long")
+    [row] = asof_join(
+        left, right, on="user_id", ts="ts", right_payload=("a",)
+    ).collect()
+    assert row.asof_a == 42
+
+
+def test_range_join_preserves_duplicate_left_rows(spark):
+    """Two identical left rows stay two output rows (the transient _rid
+    contract)."""
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 00:10:00"), ("u", "2024-01-01 00:10:00")],
+        "user_id string, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 00:08:00")], "user_id string, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    out = range_count_join(left, right, width="5 minutes").collect()
+    assert len(out) == 2
+    assert sorted(r.n_in_range for r in out) == [1, 1]
