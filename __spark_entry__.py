@@ -81,10 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ocr_roundtrip_adaptive"] = _q_ocr_roundtrip_adaptive
     out["media_features"] = _q_media_features
     out["extract_pipeline_paged"] = _q_extract_paged
-    # rows-only: the Lloyd loop is a driver iteration, not SQL-expressible
-    from pdf2ocr_spark.plans.queries import q_ivf_trained
-
-    out["similarity_ivf_trained"] = q_ivf_trained
+    # (similarity_ivf_trained moved to plans.QUERIES in round 5: the
+    # Lloyd loop unrolls into per-round DuckDB CTEs, so it is
+    # oracle-checked after all — see similarity_sql.sql_ivf_trained)
     return out
 
 

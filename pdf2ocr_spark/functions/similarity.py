@@ -350,6 +350,7 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
 
 
 KMEANS_SCALE = 1_000_000  # fixed-point micro-units for order-free sums
+KMEANS_TRAIN_ITERS = 3  # Lloyd rounds for the trained-IVF query + oracle
 
 
 def kmeans_train(
@@ -457,7 +458,16 @@ def kmeans_train(
                 continue
             v = np.array([r[f"s{i}"] for i in range(dim)], dtype=np.float64)
             v /= KMEANS_SCALE * r["n"]  # exact rational -> float mean
-            n = float(np.sqrt((v * v).sum()))
+            # strict SEQUENTIAL fold for the renorm: np.sum pairwise-sums
+            # above 8 elements, which differs in the last bits from the
+            # left fold DuckDB's list_sum computes — and the unrolled
+            # Lloyd oracle (similarity_sql.sql_ivf_trained) needs the
+            # trained centroids bit-identical across engines. K rows
+            # only, so the Python loop is free.
+            n2 = 0.0
+            for x in v.tolist():
+                n2 += x * x
+            n = float(np.sqrt(n2))
             new_cents.append((v / n if n > 0 else v).tolist())
         cents = new_cents
         history.append((int(obj), len(stats)))

@@ -9,6 +9,7 @@ from pdf2ocr_spark.functions.quality import FINGERPRINT_K, LANGS, STOPWORDS
 from pdf2ocr_spark.functions.similarity import (
     DIM,
     IVF_K,
+    KMEANS_SCALE,
     N_PLANES,
     N_QUERIES,
     NEAR_DUP_MIN_BP,
@@ -145,6 +146,116 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+
+def sql_ivf_trained(iters: int, n_cells: int = IVF_K) -> str:
+    """The ENTIRE trained-IVF pipeline as one DuckDB statement: the
+    Lloyd loop of functions/similarity.kmeans_train UNROLLED into
+    ``iters`` CTE rounds (assignment = argmax over a base x centroids
+    cross product, update = per-cell integer micro-unit sums, renorm =
+    sequential-fold norm — list_sum over DOUBLE lists is a strict left
+    fold, verified, and the Python side folds sequentially to match),
+    then the same probe/top-k tail as SQL_IVF_TOPK over the round-
+    ``iters`` centroids. Every arithmetic step mirrors the engine's
+    op-for-op in double precision, so the trained centroids — and hence
+    cell assignments, scores, and ranks — are bit-identical."""
+    scale = KMEANS_SCALE
+    parts = [
+        f"""WITH {_BASE},
+q AS (
+    SELECT vec_id,
+           list_transform(e, x -> CAST(round(x / nrm * {scale}) AS BIGINT))
+               AS eq
+    FROM base
+),
+cents_0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+           list_transform(eq, v -> v / {scale}.0) AS ce
+    FROM q ORDER BY vec_id LIMIT {n_cells}
+)"""
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        parts.append(
+            f""",
+scored_{r} AS (
+    SELECT q.vec_id, q.eq, c.k,
+           list_sum(list_transform(range({DIM}),
+                    i -> (q.eq[i + 1] / {scale}.0) * c.ce[i + 1])) AS score
+    FROM q, cents_{p} c
+),
+assign_{r} AS (
+    SELECT vec_id, eq, k AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, k ASC) AS rn
+        FROM scored_{r}
+    ) WHERE rn = 1
+),
+percell_{r} AS (
+    SELECT cell, count(*) AS n FROM assign_{r} GROUP BY cell
+),
+dimsums_{r} AS (
+    SELECT a.cell, dd.d, sum(a.eq[dd.d + 1]) AS s
+    FROM assign_{r} a, (SELECT unnest(range({DIM})) AS d) dd
+    GROUP BY a.cell, dd.d
+),
+rawc_{r} AS (
+    SELECT ds.cell, ds.d, CAST(ds.s AS DOUBLE) / ({scale} * pc.n) AS v
+    FROM dimsums_{r} ds JOIN percell_{r} pc USING (cell)
+),
+newc_{r} AS (
+    SELECT cell, vl,
+           sqrt(list_sum(list_transform(vl, x -> x * x))) AS nrm_c
+    FROM (SELECT cell, list(v ORDER BY d) AS vl FROM rawc_{r} GROUP BY cell)
+),
+cents_{r} AS (
+    SELECT prev.k,
+           CASE WHEN c.cell IS NULL THEN prev.ce
+                WHEN c.nrm_c > 0 THEN list_transform(c.vl, x -> x / c.nrm_c)
+                ELSE c.vl END AS ce
+    FROM cents_{p} prev LEFT JOIN newc_{r} c ON prev.k = c.cell
+)"""
+        )
+    parts.append(
+        f""",
+fscored AS (
+    SELECT b.vec_id, b.e, b.nrm, c.k,
+           list_sum(list_transform(range({DIM}),
+                    i -> b.e[i + 1] * c.ce[i + 1])) AS score
+    FROM base b, cents_{iters} c
+),
+assigned AS (
+    SELECT vec_id, e, nrm, k AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY score DESC, k ASC) AS rn
+        FROM fscored
+    ) WHERE rn = 1
+),
+qv AS (
+    SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cell AS qcell
+    FROM assigned
+    WHERE vec_id % {QUERY_STRIDE} = 0 AND vec_id < {QUERY_STRIDE * N_QUERIES}
+),
+probe_scored AS (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range({DIM}),
+                    i -> q.qe[i + 1] * b.e[i + 1])) / (q.qnrm * b.nrm) AS score
+    FROM assigned b JOIN qv q
+      ON b.cell = q.qcell AND b.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM probe_scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_bp
+FROM ranked WHERE rank <= {TOP_K}"""
+    )
+    return "".join(parts)
+
 
 SQL_EMBEDDING_NEAR_DUP = f"""
 WITH base0 AS (

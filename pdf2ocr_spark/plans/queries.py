@@ -1088,18 +1088,94 @@ FROM st
 
 
 def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search over a TRAINED coarse quantizer: 3 rounds of the
-    distributed spherical k-means (functions/similarity.kmeans_train —
-    integer-fixed-point sums, so the trained centroids are rerun-stable
-    on any partitioning), then the same ivf_topk probe path. Rows-only:
-    the Lloyd iteration is a driver loop over bounded K-row aggregates,
-    not a SQL expression; determinism + monotone objective are pinned
-    by test_similarity_quality."""
-    from pdf2ocr_spark.functions.similarity import ivf_topk, kmeans_train
+    """IVF search over a TRAINED coarse quantizer: KMEANS_TRAIN_ITERS
+    rounds of the distributed spherical k-means
+    (functions/similarity.kmeans_train — integer-fixed-point sums, so
+    the trained centroids are rerun-stable on any partitioning), then
+    the same ivf_topk probe path. Fully oracle-checked: the Lloyd loop
+    is a driver iteration in Spark but UNROLLS into per-round CTEs in
+    DuckDB (similarity_sql.sql_ivf_trained), bit-identical because both
+    engines fold sequentially in double precision over integer
+    micro-unit state."""
+    from pdf2ocr_spark.functions.similarity import (
+        KMEANS_TRAIN_ITERS,
+        ivf_topk,
+        kmeans_train,
+    )
 
     emb = _embeddings(spark, sf_dir)
-    cents, _hist = kmeans_train(emb, iters=3)
+    cents, _hist = kmeans_train(emb, iters=KMEANS_TRAIN_ITERS)
     return ivf_topk(emb, centroids=cents)
+
+
+def q_ivf_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does TRAINING the quantizer actually help? Recall of the trained
+    IVF top-k and the untrained (first-K-centroids) IVF top-k against
+    the exact cosine top-k, as one two-row relation. The recall join is
+    the bounded semi-join shape of similarity_ann_recall; recall_bp is
+    the order-free integer round-half-up ``(20000*h + n) div (2*n)``.
+    test_similarity_quality pins trained >= untrained on the driver
+    corpus."""
+    from pdf2ocr_spark.functions.similarity import (
+        KMEANS_TRAIN_ITERS,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    cents, _hist = kmeans_train(emb, iters=KMEANS_TRAIN_ITERS)
+
+    def one(ann: DataFrame, label: str) -> DataFrame:
+        hits = (
+            exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        totals = exact.agg(F.count("*").alias("n_exact"))
+        # crossJoin of two single-row aggregates (bounded, same move as
+        # the doc_tfidf corpus-size constant)
+        return hits.crossJoin(totals).select(
+            F.lit(label).alias("variant"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.expr("(20000 * n_hits + n_exact) div (2 * n_exact)")
+            .cast("long")
+            .alias("recall_bp"),
+        )
+
+    trained = ivf_topk(emb, centroids=cents).select("query_id", "neighbor_id")
+    untrained = ivf_topk(emb).select("query_id", "neighbor_id")
+    return one(trained, "ivf_trained").unionByName(one(untrained, "ivf_first_k"))
+
+
+def _ivf_recall_gain_sql() -> str:
+    from pdf2ocr_spark.functions.similarity import KMEANS_TRAIN_ITERS
+    from pdf2ocr_spark.functions.similarity_sql import (
+        SQL_COSINE_TOPK,
+        SQL_IVF_TOPK,
+        sql_ivf_trained,
+    )
+
+    return f"""
+WITH exact AS ({SQL_COSINE_TOPK}),
+trained AS ({sql_ivf_trained(KMEANS_TRAIN_ITERS)}),
+untrained AS ({SQL_IVF_TOPK}),
+ex AS (SELECT count(*) AS n_exact FROM exact),
+th AS (SELECT count(*) AS n_hits
+       FROM exact e JOIN trained t USING (query_id, neighbor_id)),
+uh AS (SELECT count(*) AS n_hits
+       FROM exact e JOIN untrained u USING (query_id, neighbor_id))
+SELECT 'ivf_trained' AS variant, CAST(th.n_hits AS BIGINT) AS n_hits,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST((20000 * th.n_hits + ex.n_exact) // (2 * ex.n_exact) AS BIGINT)
+           AS recall_bp
+FROM th, ex
+UNION ALL
+SELECT 'ivf_first_k', CAST(uh.n_hits AS BIGINT),
+       CAST(ex.n_exact AS BIGINT),
+       CAST((20000 * uh.n_hits + ex.n_exact) // (2 * ex.n_exact) AS BIGINT)
+FROM uh, ex
+"""
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1886,7 +1962,16 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
+    "similarity_ivf_trained": q_ivf_trained,
+    "similarity_ivf_recall_gain": q_ivf_recall_gain,
 }
+
+
+def _ivf_trained_sql() -> str:
+    from pdf2ocr_spark.functions.similarity import KMEANS_TRAIN_ITERS
+    from pdf2ocr_spark.functions.similarity_sql import sql_ivf_trained
+
+    return sql_ivf_trained(KMEANS_TRAIN_ITERS)
 
 
 def _training_oracle_sql() -> Dict[str, str]:
@@ -1954,5 +2039,7 @@ ORACLE_SQL: Dict[str, str] = {
     "corpus_clean": _corpus_clean_sql(),
     "quality_repetition": SQL_QUALITY_REPETITION,
     "dedup_applied": _dedup_applied_sql(),
+    "similarity_ivf_trained": _ivf_trained_sql(),
+    "similarity_ivf_recall_gain": _ivf_recall_gain_sql(),
     **_training_oracle_sql(),
 }
