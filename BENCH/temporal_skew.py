@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Hot-user straggler evidence for the temporal family (round-4 verdict
+"What's wrong #4"): events_sessionized sorts each user's whole history
+in ONE window task, and the banded range join's fan-out is bounded by
+band occupancy — both fine on the uniform driver corpus, neither proven
+against the real-world case of a bot carrying a large share of events.
+
+Corpus: the driver events table inflated MULT x (deterministic replica
+index, ts jittered by i ms so replicas stay distinct events), then a
+HOT variant remapping a fixed hash-slice of events (~HOT_TENTHS/10) to
+one user id. CONTROL = same rows, original 1,500-user spread. Both are
+localCheckpointed so corpus construction never pollutes the timed
+stages.
+
+Measured per operator (REST taskSummary of the dominant stage, warmup
+pass against Python-worker spawn, min-of-ITERS walls):
+
+- sessionize_single_pass — the registered events_sessionized plan;
+  EXPECTED to straggle under the hot user (that is the point of the row)
+- sessionize_two_phase  — the hot-key path (per-(user, day) pre-sessions
+  merged by an interval pass); must NOT straggle
+- range_count_join      — banded equi-join; fan-out per (key, band) is
+  band occupancy, so a hot user with TIME-UNIFORM events should be
+  fine; the quadratic hazard is time-CONCENTRATED hot keys (burst), so
+  a BURST variant (hot events also compressed into one hour) is
+  measured too
+
+Usage: python BENCH/temporal_skew.py   (prints one JSON line)
+Env:   TSKEW_CPUS (32), TSKEW_MULT (50), TSKEW_HOT_TENTHS (4),
+       TSKEW_ITERS (3), SPARK_GRAFT_SF_DIR (/root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("TSKEW_CPUS", "32"))
+MULT = int(os.environ.get("TSKEW_MULT", "50"))
+HOT_TENTHS = int(os.environ.get("TSKEW_HOT_TENTHS", "4"))
+#: burst slice is SMALLER (10%) and compressed into one day, not one
+#: hour: band-occupancy fan-out is quadratic in the compressed slice, so
+#: an unbounded burst would make the evidence run itself unrunnable
+#: (40% into 1h = ~26e9 join rows at MULT=10). 10% into 24h is the same
+#: hazard at a measurable size.
+BURST_TENTHS = int(os.environ.get("TSKEW_BURST_TENTHS", "1"))
+ITERS = int(os.environ.get("TSKEW_ITERS", "3"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+HOT_USER = -1  # remapped hot key (driver user_ids are non-negative)
+
+
+def task_summaries(spark, min_stage_id: int) -> list[dict]:
+    """Per-stage task-duration quantiles from the Spark REST API (same
+    protocol as BENCH/exploded_skew.py: anonymous stage names, so
+    attribution is by warmup-boundary stage id + A/B control)."""
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def get(path):
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}{path}") as r:
+            return json.load(r)
+
+    out = []
+    for st in get("/stages?status=COMPLETE"):
+        sid, att = st["stageId"], st["attemptId"]
+        if sid < min_stage_id or st["numCompleteTasks"] < 2:
+            continue
+        try:
+            q = get(f"/stages/{sid}/{att}/taskSummary?quantiles=0.0,0.5,0.75,1.0")
+        except Exception:
+            continue
+        dur = q.get("duration") or q.get("executorRunTime")
+        if not dur:
+            continue
+        out.append(
+            {
+                "stage": sid,
+                "tasks": st["numCompleteTasks"],
+                "task_ms_p50": dur[1],
+                "task_ms_p75": dur[2],
+                "task_ms_max": dur[3],
+                "stage_total_task_sec": round(st["executorRunTime"] / 1000.0, 1),
+            }
+        )
+    return out
+
+
+def next_stage_id(spark) -> int:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+        return max((s["stageId"] for s in json.load(r)), default=-1) + 1
+
+
+def run_op(spark, df_fn, iters=ITERS):
+    """noop-write df_fn() with one warmup; return (best wall, dominant
+    stage of the best pass, all stages of the best pass)."""
+    best = None
+    df_fn().write.format("noop").mode("overwrite").save()  # warmup
+    for _ in range(iters):
+        lo = next_stage_id(spark)
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        stages = task_summaries(spark, min_stage_id=lo)
+        if not stages:
+            continue
+        dom = max(stages, key=lambda s: s["stage_total_task_sec"])
+        if best is None or wall < best[0]:
+            best = (wall, dom, stages)
+    return best
+
+
+def build_corpora(spark):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    # MULT deterministic replicas; ms jitter keeps (ts, event_id) unique
+    rep = ev.crossJoin(
+        spark.range(MULT).select(F.col("id").alias("i"))
+    ).select(
+        (F.col("event_id") * MULT + F.col("i")).alias("event_id"),
+        F.expr("ts + make_dt_interval(0, 0, 0, i * 0.001)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).repartition(CPUS * 4)
+
+    hot_slice = F.pmod(F.col("event_id"), 10) < HOT_TENTHS
+    hot = rep.withColumn(
+        "user_id",
+        F.when(hot_slice, F.lit(HOT_USER)).otherwise(F.col("user_id")),
+    )
+    # burst: a smaller slice compressed into ONE DAY — the
+    # time-concentrated case for band occupancy (see BURST_TENTHS note)
+    burst_slice = F.pmod(F.col("event_id"), 10) < BURST_TENTHS
+    burst = rep.withColumn(
+        "user_id",
+        F.when(burst_slice, F.lit(HOT_USER)).otherwise(F.col("user_id")),
+    ).withColumn(
+        "ts",
+        F.when(
+            burst_slice,
+            F.expr(
+                "timestamp_ntz'2024-01-15 00:00:00' "
+                "+ make_dt_interval(0, 0, 0, pmod(event_id, 86400000) * 0.001)"
+            ),
+        ).otherwise(F.col("ts")),
+    )
+    return (
+        rep.localCheckpoint(),
+        hot.localCheckpoint(),
+        burst.localCheckpoint(),
+    )
+
+
+def main() -> None:
+    from pdf2ocr_spark.functions.temporal import (
+        range_count_join,
+        sessionize_single_pass,
+        sessionize_two_phase,
+    )
+    from pdf2ocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="temporal-skew",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS * 4,
+        extra_confs={"spark.ui.enabled": "true", "spark.ui.port": "4056"},
+    )
+    try:
+        control, hot, burst = build_corpora(spark)
+        n = control.count()
+        hot.count(), burst.count()
+
+        ops = {
+            "sessionize_single_pass": lambda df: sessionize_single_pass(df),
+            "sessionize_two_phase": lambda df: sessionize_two_phase(df),
+            "range_count_join": lambda df: range_count_join(
+                df, df, width="5 minutes"
+            ),
+        }
+        results = {}
+        for name, op in ops.items():
+            variants = {"control": control, "hot": hot}
+            if name == "range_count_join":
+                variants["burst"] = burst
+            r = {}
+            for vname, corpus in variants.items():
+                wall, dom, _stages = run_op(spark, lambda: op(corpus))
+                r[vname] = {
+                    "wall_sec": round(wall, 2),
+                    "dominant_stage": dom,
+                    "spread_max_over_p75": round(
+                        dom["task_ms_max"] / max(dom["task_ms_p75"], 1.0), 3
+                    ),
+                }
+            for vname in ("hot", "burst"):
+                if vname in r:
+                    r[f"{vname}_attributable_straggle"] = round(
+                        r[vname]["dominant_stage"]["task_ms_max"]
+                        / max(r["control"]["dominant_stage"]["task_ms_max"], 1.0),
+                        3,
+                    )
+                    r[f"{vname}_wall_ratio"] = round(
+                        r[vname]["wall_sec"] / r["control"]["wall_sec"], 3
+                    )
+            results[name] = r
+
+        print(
+            json.dumps(
+                {
+                    "metric": "temporal_hot_user_skew",
+                    "cpus": CPUS,
+                    "events": n,
+                    "hot_share": HOT_TENTHS / 10.0,
+                    "burst_share": BURST_TENTHS / 10.0,
+                    "iters": ITERS,
+                    "ops": results,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

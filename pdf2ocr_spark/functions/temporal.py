@@ -119,3 +119,117 @@ def range_count_join(
         )
         .drop("_rid")
     )
+
+
+def sessionize_single_pass(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """The one-shuffle single-sort sessionization plan (lag + running
+    is_new sum share one window spec) — the plan q_events_sessionized
+    registers. Factored here so BENCH/temporal_skew.py can drive it and
+    sessionize_two_phase over the same constructed corpus. Per-user
+    history sorts in ONE task: optimal when no key is hot, a straggler
+    when one is (the two-phase variant is the hot-key path)."""
+    from pyspark.sql.window import Window
+
+    iv = F.expr(f"INTERVAL {gap_min} MINUTES")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events.select("user_id", "event_id", "event_type", "value", "ts")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(prev.isNull() | (F.col("ts") - prev > iv), 1).otherwise(0)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), fmt).alias("session_start"),
+        F.date_format(F.max("ts"), fmt).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.sum(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("value_bp"),
+    )
+
+
+def sessionize_two_phase(
+    events: DataFrame,
+    gap_min: int = 30,
+    chunk: str = "1 day",
+) -> DataFrame:
+    """Gap sessionization that SURVIVES a hot key — the scale path for
+    the single-pass plan in plans/queries.q_events_sessionized, which
+    sorts each user's entire history in ONE window task (a bot with
+    10^8 events = one straggler task carrying 10^8 rows;
+    BENCH/temporal_skew.py measures exactly this).
+
+    Phase 1 pre-sessionizes within (user_id, time-chunk): the window
+    partition key gains the epoch-aligned chunk bucket, so a hot user's
+    events spread across ``span / chunk`` tasks and no task ever sorts
+    more than one chunk of one user. Sessions that cross a chunk
+    boundary are split — deliberately.
+
+    Phase 2 repairs the splits: pre-sessions are disjoint intervals, so
+    running the SAME gap rule over (start, end) pairs — merge when
+    ``start - prev_end <= gap`` — reproduces the single-pass sessions
+    exactly (the cross-chunk event gap IS the boundary pre-session gap,
+    and within a pre-session every gap is already <= gap). The phase-2
+    window again sorts per user, but over PRE-SESSIONS, whose count is
+    bounded by chunks-touched + session-breaks — for the dense hot user
+    that is ~span/chunk rows, not events (10^8 -> ~10^3). Equality with
+    the single-pass query is pinned by tests/test_temporal_ops.py and
+    the shared DuckDB oracle (events_sessionized_chunked runs against
+    SQL_EVENTS_SESSIONIZED verbatim).
+
+    Aggregates are merge-safe by construction: counts and integer-bp
+    value sums add; the distinct-type count carries the per-pre-session
+    type SET (bounded by the event-type vocabulary) and distinct-counts
+    the flattened union at the end."""
+    from pyspark.sql.window import Window
+
+    iv = F.expr(f"INTERVAL {gap_min} MINUTES")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+    e = events.select("user_id", "event_id", "event_type", "value", "ts")
+    ck = F.window("ts", chunk)["start"].alias("chunk")
+    w1 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    prev1 = F.lag("ts").over(w1)
+    is_new1 = F.when(prev1.isNull() | (F.col("ts") - prev1 > iv), 1).otherwise(0)
+    pre = (
+        e.withColumn("chunk", ck)
+        .withColumn("is_new", is_new1)
+        .withColumn(
+            "pre_no",
+            F.sum("is_new").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "chunk", "pre_no")
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("t"),
+            F.count("*").alias("n"),
+            F.collect_set("event_type").alias("types"),
+            # per-event integer quantization (order-free sum), identical
+            # to the single-pass query's value_bp
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("bp"),
+        )
+    )
+
+    w2 = Window.partitionBy("user_id").orderBy("s", "t")
+    prev_end = F.lag("t").over(w2)
+    is_new2 = F.when(
+        prev_end.isNull() | (F.col("s") - prev_end > iv), 1
+    ).otherwise(0)
+    merged = pre.withColumn("is_new", is_new2).withColumn(
+        "session_no",
+        F.sum("is_new").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return merged.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("s"), fmt).alias("session_start"),
+        F.date_format(F.max("t"), fmt).alias("session_end"),
+        F.sum("n").alias("n_events"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("types"))))
+        .cast("long")
+        .alias("n_event_types"),
+        F.sum("bp").alias("value_bp"),
+    )

@@ -1747,32 +1747,10 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side. This is also the batch twin of a
     flatMapGroupsWithState sessionizer: same per-user event-time order,
     same gap rule."""
-    from pyspark.sql.window import Window
+    from pdf2ocr_spark.functions.temporal import sessionize_single_pass
 
     ev = _table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    e = ev.select("user_id", "event_id", "event_type", "value", "ts")
-    prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull()
-        | (F.col("ts") - prev > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
-        1,
-    ).otherwise(0)
-    sess = e.withColumn("is_new", is_new).withColumn(
-        "session_no",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    return sess.groupBy("user_id", "session_no").agg(
-        F.date_format(F.min("ts"), fmt).alias("session_start"),
-        F.date_format(F.max("ts"), fmt).alias("session_end"),
-        F.count("*").alias("n_events"),
-        F.countDistinct("event_type").alias("n_event_types"),
-        # per-event quantization -> order-free integer sum (see rollup)
-        F.sum(
-            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
-        ).alias("value_bp"),
-    )
+    return sessionize_single_pass(ev, gap_min=SESSION_GAP_MIN)
 
 
 SQL_EVENTS_SESSIONIZED = f"""
@@ -1803,6 +1781,20 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            AS value_bp
 FROM n GROUP BY user_id, session_no
 """
+
+
+def q_events_sessionized_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-proof twin of events_sessionized: two-phase chunked
+    sessionization (functions/temporal.sessionize_two_phase — per-(user,
+    day) pre-sessions merged by a second pass over intervals). Checked
+    against the SAME DuckDB oracle as the single-pass query: the two
+    plans must be row-identical, which is the merge rule's correctness
+    proof. BENCH/temporal_skew.py measures the straggler difference
+    under a hot user."""
+    from pdf2ocr_spark.functions.temporal import sessionize_two_phase
+
+    ev = _table(spark, sf_dir, "events")
+    return sessionize_two_phase(ev, gap_min=SESSION_GAP_MIN, chunk="1 day")
 
 
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1964,6 +1956,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "similarity_ivf_trained": q_ivf_trained,
     "similarity_ivf_recall_gain": q_ivf_recall_gain,
+    "events_sessionized_chunked": q_events_sessionized_chunked,
 }
 
 
@@ -2039,6 +2032,7 @@ ORACLE_SQL: Dict[str, str] = {
     "corpus_clean": _corpus_clean_sql(),
     "quality_repetition": SQL_QUALITY_REPETITION,
     "dedup_applied": _dedup_applied_sql(),
+    "events_sessionized_chunked": SQL_EVENTS_SESSIONIZED,
     "similarity_ivf_trained": _ivf_trained_sql(),
     "similarity_ivf_recall_gain": _ivf_recall_gain_sql(),
     **_training_oracle_sql(),

@@ -97,3 +97,46 @@ def run_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def _dedup_keep_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Pass-through variant for pipeline chaining: the first-seen doc of
+    each text-hash group is emitted with ALL its columns; later
+    duplicates vanish. Same keeper rule as _dedup_fn (min doc_id within
+    the draining batch, first-seen across batches)."""
+    (_text_hash,) = key
+    keeper = state.get[0] if state.exists else None
+    parts = [p for p in pdfs]
+    pdf = pd.concat(parts) if parts else pd.DataFrame()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    if len(pdf) == 0:
+        yield pd.DataFrame([], columns=cols)
+        return
+    pdf = pdf.sort_values("doc_id")
+    if keeper is None:
+        first = pdf.iloc[[0]]
+        state.update((int(first["doc_id"].iloc[0]),))
+        yield first[cols]
+    else:
+        state.update((int(keeper),))
+        yield pd.DataFrame([], columns=cols)
+
+
+def streaming_dedup_keep(stream: DataFrame) -> DataFrame:
+    """documents stream -> first-seen documents only (full rows), the
+    composable upstream gate of the chained clean pipeline
+    (streaming/pipeline_chain.py): dedup state drops cross-batch
+    duplicates BEFORE the stateless clean/chunk stages, so a document
+    re-ingested in a later file produces no chunks at all."""
+    from pdf2ocr_spark.streaming.ingest import DOCUMENTS_SCHEMA
+
+    keyed = stream.withColumn("text_hash", F.md5("text"))
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_keep_fn,
+        outputStructType=DOCUMENTS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -16,10 +16,17 @@ user's final (still-open) session. Cross-batch LATE events (ts at or
 before the open session's last seen ts) are DROPPED and counted in
 state: closed sessions were already emitted in append mode, so reviving
 them would double-emit — dropping is the standard no-watermark late-
-data policy, made observable via the state's late counter. A production
-deployment adds an event-time timeout
-(GroupStateTimeout.EventTimeTimeout + watermark) to flush sessions
-whose users went quiet; the flush path reuses the same state record.
+data policy, made observable via the state's late counter.
+
+``flush_after_gap=True`` is the production mode: a watermark on ``ts``
+plus GroupStateTimeout.EventTimeTimeout flushes a quiet user's open
+session once the watermark passes ``last_ts + gap`` (the session can
+then never be extended by an on-time event), leaving a tombstone state
+row so session numbering and the late-drop reference survive a return.
+Inherent watermark-flush slack: an event later than the watermark delay
+but inside the gap window arrives AFTER its session flushed and starts
+a new session where the batch query would have merged — the standard
+late-data divergence, bounded by the configured watermark delay.
 
 State size at 10^12 events: ONE row per active user (session_no, start,
 last_ts, counters) — RocksDB state store on a real cluster; the
@@ -80,15 +87,54 @@ def _close(user_id, no, start, end, n, types, vsum):
     )
 
 
+def _make_sessions_fn(flush_after_gap: bool):
+    """Build the stateful group function. With ``flush_after_gap`` the
+    function also handles EventTimeTimeout invocations: when the
+    watermark passes a quiet user's ``last_ts + gap``, the open session
+    is emitted as closed and the state collapses to a TOMBSTONE
+    (start=None, counters kept) rather than being removed — session_no
+    stays monotone and the late-drop rule keeps its reference point if
+    the user ever returns, at the cost of one small state row per
+    ever-seen user (remove() would trade exact numbering parity for
+    zero retained state; the batch query has no flush notion, so parity
+    of numbering is the contract tests pin)."""
+
+    def fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        yield from _sessions_fn(key, pdfs, state, flush_after_gap)
+
+    return fn
+
+
 def _sessions_fn(
-    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    flush_after_gap: bool = False,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    cols = ["user_id", "session_no", "session_start_us", "session_end_us",
+            "n_events", "n_event_types", "value_bp"]
+    if flush_after_gap and state.hasTimedOut:
+        # watermark passed last_ts + gap: the open session can never be
+        # extended (any future event would start a new session), so it
+        # is safe to emit exactly once and tombstone the state
+        no, start, last, n, vsum, types_s, n_late = state.get
+        out = []
+        if start is not None:
+            types = set(types_s.split(_SEP)) if types_s else set()
+            out.append(_close(user_id, no, start, last, n, types, vsum))
+        state.update(
+            (int(no), None, int(last) if last is not None else None,
+             0, 0.0, "", int(n_late))
+        )
+        # no new timeout: the tombstone has nothing left to flush
+        yield pd.DataFrame(out, columns=cols)
+        return
     # drain + order the whole group: chunk order is not event order
     parts = [p for p in pdfs]
     pdf = pd.concat(parts) if parts else pd.DataFrame()
-    cols = ["user_id", "session_no", "session_start_us", "session_end_us",
-            "n_events", "n_event_types", "value_bp"]
     if len(pdf) == 0:
         yield pd.DataFrame([], columns=cols)
         return
@@ -129,15 +175,46 @@ def _sessions_fn(
         types.add(str(etype))
 
     state.update(
-        (int(no), int(start), int(last), int(n), float(vsum),
-         _SEP.join(sorted(types)), int(n_late))
+        (int(no), int(start) if start is not None else None, int(last),
+         int(n), float(vsum), _SEP.join(sorted(types)), int(n_late))
     )
+    if flush_after_gap and start is not None:
+        # flush when event time passes the gap after the last event;
+        # must exceed the current watermark or Spark raises
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max((last + SESSION_GAP_US) // 1000 + 1, wm + 1)
+        )
     yield pd.DataFrame(out, columns=cols)
 
 
-def streaming_sessionize(stream: DataFrame) -> DataFrame:
-    """events stream -> CLOSED sessions (open tails held in state)."""
-    keyed = stream.select(
+def streaming_sessionize(
+    stream: DataFrame,
+    flush_after_gap: bool = False,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """events stream -> CLOSED sessions (open tails held in state).
+
+    ``flush_after_gap=True`` adds the event-time timeout path: a
+    watermark on ``ts`` plus GroupStateTimeout.EventTimeTimeout, so a
+    user who goes QUIET has their open session emitted once the
+    watermark passes ``last_ts + gap`` — without it, open tails live in
+    state forever (the no-timeout mode is the batch-parity twin; the
+    flush mode is the production deployment)."""
+    if flush_after_gap:
+        # watermarks demand TIMESTAMP, not TIMESTAMP_NTZ; the session tz
+        # is pinned to UTC (session.py), so the cast is a pure
+        # reinterpretation and the session math stays NTZ/timezone-free.
+        # The helper column must SURVIVE into the stateful operator's
+        # input (the analyzer resolves the event-time timeout against a
+        # watermarked column in that plan subtree); the group function
+        # simply ignores it.
+        src = stream.withColumn(
+            "_ts_wm", F.col("ts").cast("timestamp")
+        ).withWatermark("_ts_wm", watermark)
+    else:
+        src = stream
+    keyed = src.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         "event_type",
@@ -146,18 +223,29 @@ def streaming_sessionize(stream: DataFrame) -> DataFrame:
         # timezone ever enters; _sessions_fn converts it to epoch
         # microseconds pandas-side
         F.col("ts").alias("ts_us"),
+        *(["_ts_wm"] if flush_after_gap else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
-        _sessions_fn,
+        _make_sessions_fn(flush_after_gap),
         outputStructType=SESSIONS_OUT_SCHEMA,
         stateStructType=SESSIONS_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if flush_after_gap
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
 def run_sessions_stream(
-    spark, input_dir: str, output_dir: str, checkpoint_dir: str
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    flush_after_gap: bool = False,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 4,
 ) -> None:
     """AvailableNow runner: process all files currently present, stop."""
     EVENTS_SCHEMA = T.StructType(
@@ -172,11 +260,13 @@ def run_sessions_stream(
     )
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "4")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
     )
     q = (
-        streaming_sessionize(stream)
+        streaming_sessionize(
+            stream, flush_after_gap=flush_after_gap, watermark=watermark
+        )
         .writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)

@@ -142,3 +142,65 @@ def test_late_events_dropped_not_corrupting(spark, dirs):
     assert row["session_start_us"] == t0_us
     assert row["session_end_us"] == t0_us + 10 * 60 * 1_000_000
     assert row["n_events"] == 2
+
+
+def test_event_time_timeout_flushes_quiet_user(spark, dirs):
+    """flush_after_gap: a user who goes quiet has their open session
+    emitted exactly once, once the watermark (driven by OTHER users'
+    events) passes last_ts + gap. File mtimes force the micro-batch
+    order: the flush fires in the batch AFTER the watermark advances."""
+    import datetime as dt
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["" for _ in rows], pa.string()),
+            }
+        )
+        path = os.path.join(dirs["input"], name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    now = time.time()
+    # batch 1: user 1's two events (session stays OPEN), user 2 at 10:00
+    write_file(
+        "f1.parquet",
+        [(1, t, 1, "view", 1.0), (2, t + 5 * m, 1, "click", 2.0),
+         (3, t, 2, "view", 1.0)],
+        now - 30,
+    )
+    # batch 2: user 2 at 13:00 -> closes user 2's 10:00 session AND
+    # advances the watermark to 12:30 (> user 1's 10:05 + 30min gap)
+    write_file("f2.parquet", [(4, t + 180 * m, 2, "view", 3.0)], now - 20)
+    # batch 3: user 2 at 13:01 (same session) -> the batch in which
+    # user 1's timeout fires
+    write_file("f3.parquet", [(5, t + 181 * m, 2, "view", 4.0)], now - 10)
+
+    run_sessions_stream(
+        spark, dirs["input"], dirs["output"], dirs["ckpt"],
+        flush_after_gap=True, max_files_per_trigger=1,
+    )
+    got = _canon(spark.read.parquet(dirs["output"]).toPandas())
+
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    expected = pd.DataFrame(
+        [
+            # user 1's FLUSHED session (would never emit without timeout)
+            (1, 1, us(t), us(t + 5 * m), 2, 2, 30000),
+            # user 2's 10:00 session, closed normally by the 13:00 event
+            (2, 1, us(t), us(t), 1, 1, 10000),
+        ],
+        columns=got.columns,
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), expected.astype("int64"))

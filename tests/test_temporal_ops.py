@@ -72,3 +72,36 @@ def test_range_join_preserves_duplicate_left_rows(spark):
     out = range_count_join(left, right, width="5 minutes").collect()
     assert len(out) == 2
     assert sorted(r.n_in_range for r in out) == [1, 1]
+
+
+def test_two_phase_sessionize_equals_single_pass(spark, sf_dir):
+    """The chunked sessionizer must be ROW-IDENTICAL to the single-pass
+    window plan on the driver events table — including sessions that
+    span chunk (day) boundaries."""
+    from pdf2ocr_spark.plans.queries import (
+        q_events_sessionized,
+        q_events_sessionized_chunked,
+    )
+
+    a = q_events_sessionized(spark, sf_dir).toPandas()
+    b = q_events_sessionized_chunked(spark, sf_dir).toPandas()
+    key = ["user_id", "session_no"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b), "two-phase sessionizer diverged from single-pass"
+
+
+def test_two_phase_sessionize_fine_chunks(spark, sf_dir):
+    """Chunk width much smaller than the gap still merges correctly
+    (every session crosses many chunk boundaries)."""
+    from pdf2ocr_spark.functions.temporal import sessionize_two_phase
+    from pdf2ocr_spark.plans.queries import q_events_sessionized
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = q_events_sessionized(spark, sf_dir).toPandas()
+    b = sessionize_two_phase(ev, gap_min=30, chunk="10 minutes").toPandas()
+    key = ["user_id", "session_no"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
