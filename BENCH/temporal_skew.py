@@ -19,10 +19,11 @@ pass against Python-worker spawn, min-of-ITERS walls):
   EXPECTED to straggle under the hot user (that is the point of the row)
 - sessionize_two_phase  — the hot-key path (per-(user, day) pre-sessions
   merged by an interval pass); must NOT straggle
+- range_count_join_hier — the sub-band mitigation; must tame the burst
 - range_count_join      — banded equi-join; fan-out per (key, band) is
   band occupancy, so a hot user with TIME-UNIFORM events should be
   fine; the quadratic hazard is time-CONCENTRATED hot keys (burst), so
-  a BURST variant (hot events also compressed into one hour) is
+  a BURST variant (a slice of events compressed into a few days) is
   measured too
 
 Usage: python BENCH/temporal_skew.py   (prints one JSON line)
@@ -43,12 +44,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = int(os.environ.get("TSKEW_CPUS", "32"))
 MULT = int(os.environ.get("TSKEW_MULT", "50"))
 HOT_TENTHS = int(os.environ.get("TSKEW_HOT_TENTHS", "4"))
-#: burst slice is SMALLER (10%) and compressed into one day, not one
-#: hour: band-occupancy fan-out is quadratic in the compressed slice, so
-#: an unbounded burst would make the evidence run itself unrunnable
-#: (40% into 1h = ~26e9 join rows at MULT=10). 10% into 24h is the same
-#: hazard at a measurable size.
+#: burst slice is SMALLER (10%) and compressed into BURST_DAYS days:
+#: band-occupancy fan-out is quadratic in the compressed slice, so an
+#: unbounded burst makes the evidence run itself unrunnable (40% into
+#: 1h = ~26e9 join rows at MULT=10). A bounded burst is the same hazard
+#: at a measurable size.
 BURST_TENTHS = int(os.environ.get("TSKEW_BURST_TENTHS", "1"))
+BURST_DAYS = int(os.environ.get("TSKEW_BURST_DAYS", "7"))
 ITERS = int(os.environ.get("TSKEW_ITERS", "3"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HOT_USER = -1  # remapped hot key (driver user_ids are non-negative)
@@ -136,9 +138,14 @@ def build_corpora(spark):
         "user_id",
         F.when(hot_slice, F.lit(HOT_USER)).otherwise(F.col("user_id")),
     )
-    # burst: a smaller slice compressed into ONE DAY — the
-    # time-concentrated case for band occupancy (see BURST_TENTHS note)
+    # burst: a smaller slice compressed into BURST_DAYS days — the
+    # time-concentrated case for band occupancy. The *1009 multiplier
+    # (coprime to the modulus) spreads the ids quasi-uniformly over the
+    # window; a bare pmod(event_id, window) collapses onto the id range
+    # (the first draft compressed "one day" into 17 real minutes and
+    # built a 2.5e9-pair join)
     burst_slice = F.pmod(F.col("event_id"), 10) < BURST_TENTHS
+    burst_span = BURST_DAYS * 86400
     burst = rep.withColumn(
         "user_id",
         F.when(burst_slice, F.lit(HOT_USER)).otherwise(F.col("user_id")),
@@ -147,8 +154,8 @@ def build_corpora(spark):
         F.when(
             burst_slice,
             F.expr(
-                "timestamp_ntz'2024-01-15 00:00:00' "
-                "+ make_dt_interval(0, 0, 0, pmod(event_id, 86400000) * 0.001)"
+                "timestamp_ntz'2024-01-10 00:00:00' + make_dt_interval(0, 0, 0, "
+                f"pmod(event_id * 1009, {burst_span}) + pmod(event_id, 1000) * 0.001)"
             ),
         ).otherwise(F.col("ts")),
     )
@@ -162,6 +169,7 @@ def build_corpora(spark):
 def main() -> None:
     from pdf2ocr_spark.functions.temporal import (
         range_count_join,
+        range_count_join_hierarchical,
         sessionize_single_pass,
         sessionize_two_phase,
     )
@@ -184,11 +192,14 @@ def main() -> None:
             "range_count_join": lambda df: range_count_join(
                 df, df, width="5 minutes"
             ),
+            "range_count_join_hier": lambda df: range_count_join_hierarchical(
+                df, df, width="5 minutes", split=20
+            ),
         }
         results = {}
         for name, op in ops.items():
             variants = {"control": control, "hot": hot}
-            if name == "range_count_join":
+            if name.startswith("range_count_join"):
                 variants["burst"] = burst
             r = {}
             for vname, corpus in variants.items():

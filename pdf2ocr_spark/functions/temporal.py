@@ -233,3 +233,116 @@ def sessionize_two_phase(
         .alias("n_event_types"),
         F.sum("bp").alias("value_bp"),
     )
+
+
+#: micros per unit for the width strings range joins accept
+_UNIT_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _width_us(width: str) -> int:
+    n, unit = width.split()
+    return int(n) * _UNIT_US[unit.lower()]
+
+
+def range_count_join_hierarchical(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    width: str = "5 minutes",
+    split: int = 24,
+) -> DataFrame:
+    """``range_count_join`` that survives a time-CONCENTRATED hot key.
+
+    The banded join's fan-out per left row is the right-side occupancy
+    of its two probe bands — quadratic in a burst (BENCH/temporal_skew
+    measures a bot whose events compress into a few days). This variant
+    splits each width-sized range into ``split`` sub-bands and
+    decomposes the exact count: the (split-1) fully-interior sub-bands
+    contribute via a PRE-AGGREGATED (key, sub-band) count relation (one
+    row each, however hot the band), and only the two boundary
+    sub-bands join at row level with the exact (t-w, t] filter. Per-row
+    fan-out drops from O(occupancy) to O(split + occupancy/split) —
+    minimized at split ~ sqrt(occupancy) — and no single task ever
+    materializes a band x band product.
+
+    Both contribution kinds ride ONE join: the right side is the union
+    of aggregated rows (is_agg=1, weight=cnt) and raw rows (is_agg=0,
+    weight=1 behind the exact filter), and each left row probes
+    interior sub-bands wanting aggregates plus edge sub-bands wanting
+    rows. The transient ``_rid`` stays inside one linear plan (single
+    explode -> join -> regroup), the same multiplicity contract as
+    range_count_join. Sub-band indexing is integer micros via a
+    TZ-free NTZ timestampdiff, so the operator stays NTZ end-to-end.
+
+    Row-identical to range_count_join (pinned by tests + the shared
+    events_range DuckDB oracle)."""
+    w_us = _width_us(width)
+    if split < 2 or w_us % split:
+        raise ValueError(f"split must be >= 2 and divide {w_us} us")
+    s_us = w_us // split
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+    def j_of(col: str):
+        # floor(t_us / s_us): event times are post-epoch, so integer
+        # div is floor here
+        return F.expr(
+            f"timestampdiff(MICROSECOND, {epoch}, {col}) div {s_us}"
+        )
+
+    rc = (
+        right.groupBy(
+            F.col(on).alias("_r_key"), j_of(ts).alias("_r_j")
+        )
+        .agg(F.count("*").alias("_w"))
+        .select(
+            "_r_key", "_r_j", F.lit(1).alias("_r_agg"), "_w",
+            F.lit(None).cast(right.schema[ts].dataType).alias("_r_ts"),
+        )
+    )
+    rr = right.select(
+        F.col(on).alias("_r_key"),
+        j_of(ts).alias("_r_j"),
+        F.lit(0).alias("_r_agg"),
+        F.lit(1).cast("long").alias("_w"),
+        F.col(ts).alias("_r_ts"),
+    )
+    runion = rc.unionByName(rr)
+
+    jt = j_of(ts)
+    probes = F.concat(
+        F.transform(
+            F.sequence(jt - split + 1, jt - 1),
+            lambda j: F.struct(j.alias("j"), F.lit(1).alias("agg")),
+        ),
+        F.array(
+            F.struct((jt - split).alias("j"), F.lit(0).alias("agg")),
+            F.struct(jt.alias("j"), F.lit(0).alias("agg")),
+        ),
+    )
+    l = left.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+        "_probe", F.explode(probes)
+    )
+    joined = l.join(
+        runion,
+        (F.col(on) == F.col("_r_key"))
+        & (F.col("_probe.j") == F.col("_r_j"))
+        & (F.col("_probe.agg") == F.col("_r_agg")),
+        "left",
+    )
+    iv = F.expr(f"INTERVAL {width}")
+    in_range = (F.col("_r_ts") > F.col(ts) - iv) & (F.col("_r_ts") <= F.col(ts))
+    contrib = F.when(F.col("_r_agg") == 1, F.col("_w")).otherwise(
+        F.when(in_range, F.lit(1)).otherwise(F.lit(0))
+    )
+    grp = [F.col(c) for c in left.columns]
+    return (
+        joined.groupBy(F.col("_rid"), *grp)
+        .agg(F.sum(F.coalesce(contrib, F.lit(0))).alias("n_in_range"))
+        .drop("_rid")
+    )

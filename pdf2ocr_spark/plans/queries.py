@@ -1633,6 +1633,30 @@ def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The burst-proof twin of events_range: hierarchical sub-band
+    decomposition (functions/temporal.range_count_join_hierarchical —
+    interior sub-bands contribute pre-aggregated counts, only the two
+    boundary sub-bands join at row level). Same DuckDB oracle as the
+    banded operator: the two plans must be row-identical."""
+    from pdf2ocr_spark.functions.temporal import range_count_join_hierarchical
+
+    ev = _table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_count_join_hierarchical(
+        errors, clicks, on="user_id", ts="ts", width="5 minutes", split=20
+    )
+    return out.select(
+        "error_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("error_ts"),
+        F.col("n_in_range").alias("n_clicks_5min"),
+    )
+
+
 SQL_EVENTS_RANGE = """
 WITH errors AS (
     SELECT event_id AS error_id, user_id, ts FROM events
@@ -1957,6 +1981,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_trained": q_ivf_trained,
     "similarity_ivf_recall_gain": q_ivf_recall_gain,
     "events_sessionized_chunked": q_events_sessionized_chunked,
+    "events_range_hier": q_events_range_hier,
 }
 
 
@@ -2033,6 +2058,7 @@ ORACLE_SQL: Dict[str, str] = {
     "quality_repetition": SQL_QUALITY_REPETITION,
     "dedup_applied": _dedup_applied_sql(),
     "events_sessionized_chunked": SQL_EVENTS_SESSIONIZED,
+    "events_range_hier": SQL_EVENTS_RANGE,
     "similarity_ivf_trained": _ivf_trained_sql(),
     "similarity_ivf_recall_gain": _ivf_recall_gain_sql(),
     **_training_oracle_sql(),

@@ -105,3 +105,71 @@ def test_two_phase_sessionize_fine_chunks(spark, sf_dir):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hierarchical_range_join_equals_banded(spark, sf_dir):
+    """range_count_join_hierarchical must be row-identical to the
+    banded operator on the driver events table (uniform keys) for
+    several split factors."""
+    from pdf2ocr_spark.functions.temporal import (
+        range_count_join,
+        range_count_join_hierarchical,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    base = (
+        range_count_join(errors, clicks, width="5 minutes")
+        .toPandas()
+        .sort_values(["error_id"])
+        .reset_index(drop=True)
+    )
+    for split in (2, 4, 20):
+        h = (
+            range_count_join_hierarchical(
+                errors, clicks, width="5 minutes", split=split
+            )
+            .toPandas()
+            .sort_values(["error_id"])
+            .reset_index(drop=True)
+        )
+        assert base.equals(h), f"split={split} diverged"
+
+
+def test_hierarchical_range_join_burst_corpus(spark):
+    """Exactness where it matters: a burst corpus whose right-side rows
+    all land in few sub-bands, including boundary-exact timestamps
+    (r_ts == t and r_ts == t - w must count as in / out resp.)."""
+    from pdf2ocr_spark.functions.temporal import (
+        range_count_join,
+        range_count_join_hierarchical,
+    )
+
+    rows = []
+    # right: one user, events every 10 s across 30 min
+    for i in range(180):
+        rows.append(("u", f"2024-01-01 00:{i // 6:02d}:{(i % 6) * 10:02d}"))
+    right = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    left = spark.createDataFrame(
+        [("u", i, f"2024-01-01 00:{m:02d}:{sec:02d}")
+         for i, (m, sec) in enumerate(
+             [(0, 0), (5, 0), (10, 0), (12, 34), (29, 50), (35, 0)]
+         )],
+        "user_id string, lid long, ts_s string",
+    ).select("user_id", "lid", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    a = (
+        range_count_join(left, right, width="5 minutes")
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    b = (
+        range_count_join_hierarchical(left, right, width="5 minutes", split=10)
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # sanity: interior window fully populated -> 30 events per 5 min
+    assert a.loc[a.lid == 2, "n_in_range"].iloc[0] == 30
