@@ -19,7 +19,11 @@ pass against Python-worker spawn, min-of-ITERS walls):
   EXPECTED to straggle under the hot user (that is the point of the row)
 - sessionize_two_phase  — the hot-key path (per-(user, day) pre-sessions
   merged by an interval pass); must NOT straggle
-- range_count_join_hier — the sub-band mitigation; must tame the burst
+- range_count_join_hier — the sub-band decomposition applied to ALL
+  rows (burst-balanced but pays split+2 probes everywhere)
+- range_count_join_adaptive — the production hybrid: hierarchical only
+  behind a broadcast heavy-(key, band) set; must match banded wall on
+  control AND tame the burst
 - range_count_join      — banded equi-join; fan-out per (key, band) is
   band occupancy, so a hot user with TIME-UNIFORM events should be
   fine; the quadratic hazard is time-CONCENTRATED hot keys (burst), so
@@ -169,6 +173,7 @@ def build_corpora(spark):
 def main() -> None:
     from pdf2ocr_spark.functions.temporal import (
         range_count_join,
+        range_count_join_adaptive,
         range_count_join_hierarchical,
         sessionize_single_pass,
         sessionize_two_phase,
@@ -194,6 +199,9 @@ def main() -> None:
             ),
             "range_count_join_hier": lambda df: range_count_join_hierarchical(
                 df, df, width="5 minutes", split=20
+            ),
+            "range_count_join_adaptive": lambda df: range_count_join_adaptive(
+                df, df, width="5 minutes", split=20, heavy_per_band=1024
             ),
         }
         results = {}

@@ -346,3 +346,56 @@ def range_count_join_hierarchical(
         .agg(F.sum(F.coalesce(contrib, F.lit(0))).alias("n_in_range"))
         .drop("_rid")
     )
+
+
+def range_count_join_adaptive(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    width: str = "5 minutes",
+    split: int = 24,
+    heavy_per_band: int = 256,
+) -> DataFrame:
+    """The production range-count join: banded for the uniform majority,
+    hierarchical ONLY for rows that probe a heavy band — the classic
+    skew-join split, driven by measurement (BENCH/temporal_skew.py):
+    the banded plan's burst straggle is 2.3x, but the hierarchical
+    decomposition costs split+2 probes per left row, ~7x the banded
+    wall when applied to EVERYTHING. So: aggregate right-side occupancy
+    per (key, band) — already a tiny relation — broadcast the heavy set
+    (occupancy > heavy_per_band; empty on uniform corpora), route left
+    rows probing a heavy band to range_count_join_hierarchical and the
+    rest to range_count_join, and union. Each left row is counted by
+    exactly one path, so exactness and multiplicity are preserved
+    (pinned row-identical to the banded operator).
+
+    At 10^12 events the heavy set is bounded by #(hot key, band) pairs
+    — broadcastable by construction, since each entry represents >
+    heavy_per_band right rows."""
+    band = lambda c: F.window(c, width)["start"]  # noqa: E731
+    iv = F.expr(f"INTERVAL {width}")
+    heavy = (
+        right.groupBy(
+            F.col(on).alias("_h_key"), band(ts).alias("_h_band")
+        )
+        .agg(F.count("*").alias("_h_n"))
+        .where(F.col("_h_n") > heavy_per_band)
+        .select("_h_key", "_h_band")
+    )
+    # a left row is heavy iff EITHER of its two probe bands is heavy;
+    # window() can't sit in a join condition, so the probe bands become
+    # transient columns first
+    l2 = left.withColumn("_b0", band(ts)).withColumn("_b1", band(ts) - iv)
+    probe_hit = (F.col(on) == F.col("_h_key")) & (
+        (F.col("_b0") == F.col("_h_band")) | (F.col("_b1") == F.col("_h_band"))
+    )
+    light = l2.join(F.broadcast(heavy), probe_hit, "left_anti").drop("_b0", "_b1")
+    heavy_left = l2.join(F.broadcast(heavy), probe_hit, "left_semi").drop(
+        "_b0", "_b1"
+    )
+    return range_count_join(light, right, on=on, ts=ts, width=width).unionByName(
+        range_count_join_hierarchical(
+            heavy_left, right, on=on, ts=ts, width=width, split=split
+        )
+    )

@@ -1657,6 +1657,29 @@ def q_events_range_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production range-count join (skew-split hybrid): banded path
+    for rows probing normal bands, hierarchical path only behind a
+    broadcast heavy-(key, band) set. Same oracle as events_range."""
+    from pdf2ocr_spark.functions.temporal import range_count_join_adaptive
+
+    ev = _table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_count_join_adaptive(
+        errors, clicks, on="user_id", ts="ts", width="5 minutes",
+        split=20, heavy_per_band=64,
+    )
+    return out.select(
+        "error_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("error_ts"),
+        F.col("n_in_range").alias("n_clicks_5min"),
+    )
+
+
 SQL_EVENTS_RANGE = """
 WITH errors AS (
     SELECT event_id AS error_id, user_id, ts FROM events
@@ -1982,6 +2005,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_recall_gain": q_ivf_recall_gain,
     "events_sessionized_chunked": q_events_sessionized_chunked,
     "events_range_hier": q_events_range_hier,
+    "events_range_adaptive": q_events_range_adaptive,
 }
 
 
@@ -2059,6 +2083,7 @@ ORACLE_SQL: Dict[str, str] = {
     "dedup_applied": _dedup_applied_sql(),
     "events_sessionized_chunked": SQL_EVENTS_SESSIONIZED,
     "events_range_hier": SQL_EVENTS_RANGE,
+    "events_range_adaptive": SQL_EVENTS_RANGE,
     "similarity_ivf_trained": _ivf_trained_sql(),
     "similarity_ivf_recall_gain": _ivf_recall_gain_sql(),
     **_training_oracle_sql(),

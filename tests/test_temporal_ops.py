@@ -173,3 +173,54 @@ def test_hierarchical_range_join_burst_corpus(spark):
     assert a.equals(b)
     # sanity: interior window fully populated -> 30 events per 5 min
     assert a.loc[a.lid == 2, "n_in_range"].iloc[0] == 30
+
+
+def test_adaptive_range_join_routes_and_matches(spark, sf_dir):
+    """The adaptive split must be row-identical to the banded operator
+    on a mixed corpus (uniform majority + a synthetic heavy band), and
+    with heavy_per_band=0 (everything heavy) it degenerates to the
+    hierarchical path while still matching."""
+    from pdf2ocr_spark.functions.temporal import (
+        range_count_join,
+        range_count_join_adaptive,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    # synthetic heavy band: 400 extra clicks by one user inside 5 min
+    hot = spark.range(400).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.expr(
+            "timestamp_ntz'2024-01-05 00:00:00' "
+            "+ make_dt_interval(0, 0, 0, id * 0.5)"
+        ).alias("ts"),
+    )
+    clicks2 = clicks.unionByName(hot)
+    probes = spark.range(10).select(
+        (F.col("id") + 1_000_000).alias("error_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.expr(
+            "timestamp_ntz'2024-01-05 00:02:00' "
+            "+ make_dt_interval(0, 0, 0, id * 30.0)"
+        ).alias("ts"),
+    )
+    errors2 = errors.unionByName(probes)
+
+    base = (
+        range_count_join(errors2, clicks2, width="5 minutes")
+        .toPandas().sort_values("error_id").reset_index(drop=True)
+    )
+    for thresh in (256, 0):
+        got = (
+            range_count_join_adaptive(
+                errors2, clicks2, width="5 minutes", split=20,
+                heavy_per_band=thresh,
+            )
+            .toPandas().sort_values("error_id").reset_index(drop=True)
+        )
+        assert base.equals(got), f"heavy_per_band={thresh} diverged"
+    # the synthetic probes really do see the hot band
+    assert (base.loc[base.error_id >= 1_000_000, "n_in_range"] > 100).all()
