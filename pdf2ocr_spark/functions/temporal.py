@@ -356,6 +356,7 @@ def range_count_join_adaptive(
     width: str = "5 minutes",
     split: int = 24,
     heavy_per_band: int = 256,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """The production range-count join: banded for the uniform majority,
     hierarchical ONLY for rows that probe a heavy band — the classic
@@ -372,15 +373,30 @@ def range_count_join_adaptive(
 
     At 10^12 events the heavy set is bounded by #(hot key, band) pairs
     — broadcastable by construction, since each entry represents >
-    heavy_per_band right rows."""
+    heavy_per_band right rows.
+
+    ``sample_fraction < 1`` makes the heavy DETECTION sampled (seeded,
+    threshold scaled with a 2x safety factor toward false positives):
+    at production scale a full per-(key, band) count is itself a large
+    mostly-size-1-group shuffle, while a 1-5% sample finds every band
+    that matters — and routing accuracy only affects SPEED, never
+    correctness, since both paths are exact."""
     band = lambda c: F.window(c, width)["start"]  # noqa: E731
     iv = F.expr(f"INTERVAL {width}")
+    probe_src = (
+        right if sample_fraction >= 1.0
+        else right.sample(fraction=sample_fraction, seed=42)
+    )
+    eff_thresh = (
+        heavy_per_band if sample_fraction >= 1.0
+        else max(1.0, heavy_per_band * sample_fraction / 2.0)
+    )
     heavy = (
-        right.groupBy(
+        probe_src.groupBy(
             F.col(on).alias("_h_key"), band(ts).alias("_h_band")
         )
         .agg(F.count("*").alias("_h_n"))
-        .where(F.col("_h_n") > heavy_per_band)
+        .where(F.col("_h_n") > eff_thresh)
         .select("_h_key", "_h_band")
     )
     # a left row is heavy iff EITHER of its two probe bands is heavy;
