@@ -1,0 +1,43 @@
+"""Vectorized n-gram kernel for the decontamination query.
+
+The pure-Catalyst form (transform over sequence with an
+array_join(slice(...)) lambda, wrapped in array_distinct) runs the
+whole per-element expression tree INTERPRETED — nested higher-order
+functions never enter whole-stage codegen — and costs ~100x the Arrow
+kernel at sf0.1 (the same finding that shaped the minhash signature
+kernel, functions/dedup.py). One batched Python pass over the token
+arrays is the designed fast path: per doc, join each token window once
+and keep first-occurrence-distinct grams.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def distinct_ngrams_udf(n: int):
+    """pandas_udf: array<string> tokens -> array<string> of the doc's
+    DISTINCT space-joined n-grams (first-occurrence order; empty when
+    the doc has fewer than n tokens)."""
+
+    @F.pandas_udf("array<string>")
+    def grams(tok_lists: pd.Series) -> pd.Series:
+        out = []
+        for t in tok_lists:
+            toks = list(t) if t is not None else []
+            if len(toks) < n:
+                out.append([])
+                continue
+            # dict.fromkeys = ordered distinct
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return grams

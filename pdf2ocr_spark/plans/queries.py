@@ -1087,6 +1087,128 @@ FROM st
 """
 
 
+#: decontamination n-gram order and the benchmark-slice modulus
+DECONTAM_N = 8
+DECONTAM_MOD = 53
+DECONTAM_PREFIX_TOKS = 16
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap detection (the GPT-3-style decontamination
+    pass a pretraining pipeline runs before training): flag every
+    training document sharing at least one 8-gram with the benchmark
+    set. The benchmark set is derived deterministically — the first 16
+    tokens of every (doc_id % 53 == 0) document — so overlap exists by
+    construction for the source docs and their exact duplicates, and
+    both engines build the identical eval set.
+
+    Scale shape at 10^12 docs: the benchmark gram set is the SMALL side
+    (distinct grams of the eval suite — thousands of docs, not
+    trillions) and broadcasts; the training-side gram explode is a pure
+    map stage fused with the scan (fan-out = tokens per doc); the only
+    shuffle is the per-doc overlap count, pre-aggregated map-side. At
+    production scale the join key would be xxhash64(gram) instead of
+    the gram string — same plan, narrower shuffle."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split("text", " ")
+
+    # gram construction is a VECTORIZED Arrow kernel, not nested
+    # Catalyst HOFs: transform+array_join+slice lambdas run INTERPRETED
+    # per element (perf landmine #9 — measured 96.8 s at sf0.1 vs
+    # ~1 s kernelized), and referencing the expression twice (size +
+    # explode) re-inlines the whole tree via CollapseProject
+    from pdf2ocr_spark.functions.decontam import distinct_ngrams_udf
+
+    grams = distinct_ngrams_udf(DECONTAM_N)
+    bench_toks = F.slice(toks, 1, DECONTAM_PREFIX_TOKS)
+    bench_grams = (
+        docs.where(F.col("doc_id") % DECONTAM_MOD == 0)
+        .select(F.explode(grams(bench_toks)).alias("g"))
+        .distinct()
+    )
+    train_grams = docs.select(
+        "doc_id", grams(toks).alias("gl")
+    ).select(
+        "doc_id", F.size("gl").alias("n_grams"), F.explode("gl").alias("g")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("(20000 * n_shared + n_grams) div (2 * n_grams)")
+            .cast("long")
+            .alias("shared_bp"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bench_grams AS (
+    SELECT DISTINCT list_aggr(toks[i + 1 : i + {DECONTAM_N}], 'string_agg', ' ') AS g
+    FROM (SELECT doc_id, toks[1:{DECONTAM_PREFIX_TOKS}] AS toks FROM tok
+          WHERE doc_id % {DECONTAM_MOD} = 0),
+         unnest(range(0, greatest(len(toks) - {DECONTAM_N} + 1, 0))) AS u(i)
+),
+train_grams AS (
+    SELECT doc_id, g, n_grams FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(toks) - {DECONTAM_N} + 1, 0)),
+                   i -> list_aggr(toks[i + 1 : i + {DECONTAM_N}], 'string_agg', ' ')
+               )) AS gl
+        FROM tok
+    ), unnest(gl) AS t(g), lateral (SELECT len(gl) AS n_grams)
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       CAST((20000 * count(*) + t.n_grams) // (2 * t.n_grams) AS BIGINT)
+           AS shared_bp
+FROM train_grams t JOIN bench_grams b ON t.g = b.g
+GROUP BY t.doc_id, t.n_grams
+"""
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p95/p99 of value per event_type)
+    — the monitoring rollup every event pipeline ships. Spark's exact
+    ``percentile`` aggregate and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition (pos = p*(n-1)), so integer-bp
+    outputs hash-match. One shuffle on a 5-key group; at 10^12 events
+    the exact sort-based aggregate would be swapped for
+    approx_percentile at the same call site — the exact form is the
+    oracle-checkable contract."""
+    ev = _table(spark, sf_dir, "events")
+    bp = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    pct = F.percentile("value", F.lit([0.5, 0.95, 0.99]))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            bp(F.col("p")[0]).alias("p50_bp"),
+            bp(F.col("p")[1]).alias("p95_bp"),
+            bp(F.col("p")[2]).alias("p99_bp"),
+        )
+    )
+
+
+SQL_EVENTS_PERCENTILES = """
+SELECT event_type,
+       CAST(floor(quantile_cont(value, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_bp,
+       CAST(floor(quantile_cont(value, 0.95) * 10000 + 0.5) AS BIGINT) AS p95_bp,
+       CAST(floor(quantile_cont(value, 0.99) * 10000 + 0.5) AS BIGINT) AS p99_bp
+FROM events GROUP BY event_type
+"""
+
+
 def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over a TRAINED coarse quantizer: KMEANS_TRAIN_ITERS
     rounds of the distributed spherical k-means
@@ -2006,6 +2128,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionized_chunked": q_events_sessionized_chunked,
     "events_range_hier": q_events_range_hier,
     "events_range_adaptive": q_events_range_adaptive,
+    "decontaminate": q_decontaminate,
+    "events_percentiles": q_events_percentiles,
 }
 
 
@@ -2084,6 +2208,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_sessionized_chunked": SQL_EVENTS_SESSIONIZED,
     "events_range_hier": SQL_EVENTS_RANGE,
     "events_range_adaptive": SQL_EVENTS_RANGE,
+    "decontaminate": SQL_DECONTAMINATE,
+    "events_percentiles": SQL_EVENTS_PERCENTILES,
     "similarity_ivf_trained": _ivf_trained_sql(),
     "similarity_ivf_recall_gain": _ivf_recall_gain_sql(),
     **_training_oracle_sql(),
