@@ -40,34 +40,50 @@ def asof_join(
     on: str = "user_id",
     ts: str = "ts",
     right_payload: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the most recent right row at-or-before each left
-    row's ``ts`` within the same ``on`` group (LEFT semantics: no match
-    -> nulls). Right payload columns come back prefixed ``asof_``.
-    Ties inside the right side must be pre-deduplicated by the caller
-    if (on, ts) is not unique there."""
+    """Left rows + the matched right row within the same ``on`` group
+    (LEFT semantics: no match -> nulls): the most recent right row
+    at-or-BEFORE each left ``ts`` (``direction="backward"``, default)
+    or the earliest right row at-or-AFTER it (``"forward"``). Right
+    payload columns come back prefixed ``asof_``. Ties inside the right
+    side must be pre-deduplicated by the caller if (on, ts) is not
+    unique there."""
+    if direction == "backward":
+        # right rows sort BEFORE left at equal ts -> at-or-before
+        r_side, l_side = 0, 1
+        frame = (Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    elif direction == "forward":
+        # left rows sort BEFORE right at equal ts -> at-or-after
+        r_side, l_side = 1, 0
+        frame = (0, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        raise ValueError(f"direction must be backward|forward: {direction}")
     # The whole right payload rides in ONE struct column carried by a
-    # single last(ignorenulls=True): per-column carries would let a NULL
-    # field in the matched row fall back to an OLDER right row, mixing
-    # fields across rows and masking genuine NULLs. The struct is
-    # non-null whenever a right row exists, so NULL fields survive.
+    # single last/first(ignorenulls=True): per-column carries would let
+    # a NULL field in the matched row fall back to a DIFFERENT right
+    # row, mixing fields across rows and masking genuine NULLs. The
+    # struct is non-null whenever a right row exists, so NULL fields
+    # survive.
     rt = right.select(
         F.col(on),
         F.col(ts),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         F.struct(*[F.col(c) for c in right_payload]).alias("_asof_payload"),
     )
-    lt = left.withColumn("_side", F.lit(1))
+    lt = left.withColumn("_side", F.lit(l_side))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
         .orderBy(ts, "_side")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(*frame)
     )
     carried = unioned.withColumn(
-        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
+        "_asof_payload", pick("_asof_payload").over(w)
     )
-    return carried.where(F.col("_side") == 1).select(
+    return carried.where(F.col("_side") == l_side).select(
         *[F.col(c) for c in left.columns],
         *[
             F.col(f"_asof_payload.{c}").alias(f"asof_{c}")

@@ -1709,6 +1709,63 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every click joined to the EARLIEST view
+    at-or-after it by the same user (the "next state change" lookup —
+    e.g. time-to-conversion). Same tag-union-window composition with
+    the frame reversed (first-following instead of last-preceding);
+    oracle = DuckDB's native ASOF LEFT JOIN with the <= comparator."""
+    from pdf2ocr_spark.functions.temporal import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    out = asof_join(
+        clicks, views, on="user_id", ts="ts",
+        right_payload=("ts", "view_id", "value"), direction="forward",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts"),
+        F.col("asof_view_id").alias("view_id"),
+        F.date_format("asof_ts", _TS_FMT).alias("view_ts"),
+        F.floor(F.col("asof_value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("view_value_bp"),
+    )
+
+
+SQL_EVENTS_ASOF_FWD = """
+WITH clicks AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'
+),
+views AS (
+    SELECT user_id, ts, max(event_id) AS view_id,
+           arg_max(value, event_id) AS value
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+)
+SELECT l.click_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       r.view_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       CAST(floor(r.value * 10000 + 0.5) AS BIGINT) AS view_value_bp
+FROM clicks l
+ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 SQL_EVENTS_ASOF = """
 WITH clicks AS (
     SELECT user_id, ts, event_id AS click_id FROM events
@@ -2130,6 +2187,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_adaptive": q_events_range_adaptive,
     "decontaminate": q_decontaminate,
     "events_percentiles": q_events_percentiles,
+    "events_asof_fwd": q_events_asof_fwd,
 }
 
 
@@ -2209,6 +2267,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_range_hier": SQL_EVENTS_RANGE,
     "events_range_adaptive": SQL_EVENTS_RANGE,
     "decontaminate": SQL_DECONTAMINATE,
+    "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "similarity_ivf_trained": _ivf_trained_sql(),
     "similarity_ivf_recall_gain": _ivf_recall_gain_sql(),

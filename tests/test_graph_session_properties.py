@@ -162,3 +162,58 @@ def test_reliable_path_matches_union_find(spark, tmp_path):
         for f in fs
     ]
     assert ckpt_files, "reliable checkpoints must be written"
+
+
+def test_two_phase_sessionize_property_random_streams(spark, tmp_path):
+    """Property over seeded random streams: sessionize_two_phase equals
+    the straight-line reference for several chunk widths, including
+    widths both far above and far below the gap (every session crossing
+    many chunk boundaries) and a stream with equal-timestamp events."""
+    from pdf2ocr_spark.functions.temporal import sessionize_two_phase
+    from pdf2ocr_spark.plans.queries import SESSION_GAP_MIN
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    base = pd.Timestamp("2024-03-01")
+    gaps_s = np.where(
+        rng.rand(n) < 0.12,
+        rng.randint(31 * 60, 3 * 3600, n),
+        rng.randint(0, 25 * 60, n),  # includes ZERO gaps (equal ts)
+    )
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": base + pd.to_timedelta(np.cumsum(gaps_s), unit="s"),
+            "user_id": rng.randint(0, 23, n).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "error"], n),
+            "value": np.round(rng.rand(n) * 50, 2),
+        }
+    )
+    sdf = spark.createDataFrame(ev)
+    sdf = sdf.withColumn("ts", sdf["ts"].cast("timestamp_ntz"))
+
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = _reference_sessions(ev, SESSION_GAP_MIN * 60 * 1_000_000)
+    cols = ["user_id", "session_no", "start_us", "end_us",
+            "n_events", "n_event_types", "value_bp"]
+    want = want[cols].sort_values(["user_id", "session_no"]).reset_index(drop=True)
+
+    for chunk in ("3 days", "1 day", "2 hours", "15 minutes"):
+        got = sessionize_two_phase(
+            sdf, gap_min=SESSION_GAP_MIN, chunk=chunk
+        ).toPandas()
+        got["start_us"] = (
+            pd.to_datetime(got["session_start"])
+            .astype("datetime64[us]").astype("int64")
+        )
+        got["end_us"] = (
+            pd.to_datetime(got["session_end"])
+            .astype("datetime64[us]").astype("int64")
+        )
+        got = got[cols].sort_values(
+            ["user_id", "session_no"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64", errors="ignore"),
+            want.astype("int64", errors="ignore"),
+        ), chunk

@@ -224,3 +224,28 @@ def test_adaptive_range_join_routes_and_matches(spark, sf_dir):
         assert base.equals(got), f"heavy_per_band={thresh} diverged"
     # the synthetic probes really do see the hot band
     assert (base.loc[base.error_id >= 1_000_000, "n_in_range"] > 100).all()
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: earliest right row at-or-after; equal ts matches;
+    NULL field in the matched row stays NULL (no forward-fill from a
+    LATER right row)."""
+    right = spark.createDataFrame(
+        [("u", 5, None, "near"), ("u", 9, 7, "far")],
+        "user_id string, ts long, a int, b string",
+    )
+    left = spark.createDataFrame(
+        [("u", 3), ("u", 5), ("u", 10)], "user_id string, ts long"
+    )
+    from pdf2ocr_spark.functions.temporal import asof_join
+
+    out = {
+        r.ts: (r.asof_a, r.asof_b)
+        for r in asof_join(
+            left, right, on="user_id", ts="ts",
+            right_payload=("a", "b"), direction="forward",
+        ).collect()
+    }
+    assert out[3] == (None, "near"), "matched row's NULL field leaked"
+    assert out[5] == (None, "near"), "equal ts must match"
+    assert out[10] == (None, None), "no following row -> all null"
