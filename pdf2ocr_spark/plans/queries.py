@@ -1087,6 +1087,112 @@ FROM st
 """
 
 
+#: train/val/test hash-split boundaries in bp of 10000
+SPLIT_VAL_LO, SPLIT_TEST_LO = 9800, 9900
+
+#: per-source mixture: source -> (epochs, keep_bp); the default row.
+#: High-quality sources replicate (multiple epochs), noisy ones
+#: down-sample — the standard pretraining-mix shape.
+MIXTURE = {"src0": (2, 10000), "src1": (2, 10000), "src19": (1, 2000)}
+MIXTURE_DEFAULT = (1, 5000)
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (98/1/1) by document hash —
+    the reproducible alternative to rand(): a resumed 10^12-doc job
+    assigns every doc to the SAME split, and membership is a pure
+    codegen projection (zero shuffle, survives repartitioning)."""
+    from pdf2ocr_spark.functions.dedup import base_hash
+
+    docs = _documents(spark, sf_dir)
+    bucket = (
+        base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+        % 10000
+    )
+    return docs.select(
+        "doc_id",
+        bucket.cast("long").alias("split_bucket"),
+        F.when(bucket < SPLIT_VAL_LO, "train")
+        .when(bucket < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SQL_CORPUS_SPLIT = f"""
+WITH b AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)
+                AS BIGINT) % 10000 AS split_bucket
+    FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < {SPLIT_VAL_LO} THEN 'train'
+            WHEN split_bucket < {SPLIT_TEST_LO} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted training mixture: per source, keep a hash quota
+    of documents AND replicate kept docs for the source's epoch count
+    (the pretraining-mix op — high-quality sources run multiple epochs,
+    noisy ones down-sample). Deterministic: the same doc is kept, with
+    the same epoch rows, on any rerun/partitioning. The epoch fan-out
+    is a bounded explode fused with the scan; the quota filter is pure
+    codegen — zero shuffle end to end."""
+    from pdf2ocr_spark.functions.dedup import base_hash
+
+    docs = _documents(spark, sf_dir)
+    bucket = (
+        base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+        % 10000
+    )
+    epochs = F.lit(MIXTURE_DEFAULT[0])
+    keep = F.lit(MIXTURE_DEFAULT[1])
+    for src, (ep, bp) in sorted(MIXTURE.items()):
+        epochs = F.when(F.col("source") == src, F.lit(ep)).otherwise(epochs)
+        keep = F.when(F.col("source") == src, F.lit(bp)).otherwise(keep)
+    return (
+        docs.select(
+            "doc_id", "source", bucket.cast("long").alias("mix_bucket"),
+            epochs.alias("_ep"), keep.alias("_keep"),
+        )
+        .where(F.col("mix_bucket") < F.col("_keep"))
+        .select(
+            "doc_id", "source", "mix_bucket",
+            F.explode(F.sequence(F.lit(1), F.col("_ep"))).alias("epoch_no"),
+        )
+        .select(
+            "doc_id", "source", "mix_bucket",
+            F.col("epoch_no").cast("long").alias("epoch_no"),
+        )
+    )
+
+
+def _mixture_sql() -> str:
+    cases_ep = " ".join(
+        f"WHEN source = '{s}' THEN {ep}" for s, (ep, _bp) in sorted(MIXTURE.items())
+    )
+    cases_bp = " ".join(
+        f"WHEN source = '{s}' THEN {bp}" for s, (_ep, bp) in sorted(MIXTURE.items())
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id, source,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+                AS BIGINT) % 10000 AS mix_bucket,
+           CASE {cases_ep} ELSE {MIXTURE_DEFAULT[0]} END AS ep,
+           CASE {cases_bp} ELSE {MIXTURE_DEFAULT[1]} END AS keep
+    FROM documents
+)
+SELECT doc_id, source, mix_bucket, CAST(e AS BIGINT) AS epoch_no
+FROM b, unnest(range(1, ep + 1)) AS t(e)
+WHERE mix_bucket < keep
+"""
+
+
 #: decontamination n-gram order and the benchmark-slice modulus
 DECONTAM_N = 8
 DECONTAM_MOD = 53
@@ -2188,6 +2294,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "events_percentiles": q_events_percentiles,
     "events_asof_fwd": q_events_asof_fwd,
+    "corpus_split": q_corpus_split,
+    "sample_mixture": q_sample_mixture,
 }
 
 
@@ -2268,6 +2376,8 @@ ORACLE_SQL: Dict[str, str] = {
     "events_range_adaptive": SQL_EVENTS_RANGE,
     "decontaminate": SQL_DECONTAMINATE,
     "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
+    "corpus_split": SQL_CORPUS_SPLIT,
+    "sample_mixture": _mixture_sql(),
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "similarity_ivf_trained": _ivf_trained_sql(),
     "similarity_ivf_recall_gain": _ivf_recall_gain_sql(),
