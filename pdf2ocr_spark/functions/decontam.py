@@ -41,3 +41,32 @@ def distinct_ngrams_udf(n: int):
         return pd.Series(out)
 
     return grams
+
+
+def counted_ngrams_udf(n: int):
+    """Like distinct_ngrams_udf, but each element carries the doc's
+    total distinct-gram count alongside the gram:
+    ``array<struct<g:string, n:int>>``. Referencing one UDF column from
+    several operators (size() + explode()) makes Catalyst materialize
+    an ArrowEvalPython node PER REFERENCE; packing the count into the
+    exploded element keeps the kernel at exactly ONE evaluation."""
+
+    @F.pandas_udf("array<struct<g: string, n: int>>")
+    def grams(tok_lists: pd.Series) -> pd.Series:
+        out = []
+        for t in tok_lists:
+            toks = list(t) if t is not None else []
+            if len(toks) < n:
+                out.append([])
+                continue
+            gs = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+            )
+            k = len(gs)
+            out.append([{"g": g, "n": k} for g in gs])
+        return pd.Series(out)
+
+    return grams

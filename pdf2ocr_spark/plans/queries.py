@@ -1223,7 +1223,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per element (perf landmine #9 — measured 96.8 s at sf0.1 vs
     # ~1 s kernelized), and referencing the expression twice (size +
     # explode) re-inlines the whole tree via CollapseProject
-    from pdf2ocr_spark.functions.decontam import distinct_ngrams_udf
+    from pdf2ocr_spark.functions.decontam import (
+        counted_ngrams_udf,
+        distinct_ngrams_udf,
+    )
 
     grams = distinct_ngrams_udf(DECONTAM_N)
     bench_toks = F.slice(toks, 1, DECONTAM_PREFIX_TOKS)
@@ -1232,10 +1235,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(grams(bench_toks)).alias("g"))
         .distinct()
     )
+    # counted variant: one explode yields gram AND per-doc total, so
+    # the kernel evaluates exactly once on the training side (size() +
+    # explode() of one UDF column would each get their own
+    # ArrowEvalPython node)
+    cg = counted_ngrams_udf(DECONTAM_N)
     train_grams = docs.select(
-        "doc_id", grams(toks).alias("gl")
+        "doc_id", F.explode(cg(toks)).alias("x")
     ).select(
-        "doc_id", F.size("gl").alias("n_grams"), F.explode("gl").alias("g")
+        "doc_id", F.col("x.n").alias("n_grams"), F.col("x.g").alias("g")
     )
     return (
         train_grams.join(F.broadcast(bench_grams), "g")
