@@ -41,6 +41,7 @@ def asof_join(
     ts: str = "ts",
     right_payload: Sequence[str] = (),
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left rows + the matched right row within the same ``on`` group
     (LEFT semantics: no match -> nulls): the most recent right row
@@ -48,7 +49,14 @@ def asof_join(
     or the earliest right row at-or-AFTER it (``"forward"``). Right
     payload columns come back prefixed ``asof_``. Ties inside the right
     side must be pre-deduplicated by the caller if (on, ts) is not
-    unique there."""
+    unique there.
+
+    ``tolerance`` (interval string, pandas merge_asof-style): a match
+    farther than the tolerance from the left ``ts`` is treated as NO
+    match — applied as a pure post-carry filter on the carried ts, so
+    the plan shape (one shuffle + one sort) is unchanged. Requires
+    ``ts`` in ``right_payload`` semantics internally; handled here by
+    carrying the match ts inside the payload struct."""
     if direction == "backward":
         # right rows sort BEFORE left at equal ts -> at-or-before
         r_side, l_side = 0, 1
@@ -71,7 +79,10 @@ def asof_join(
         F.col(on),
         F.col(ts),
         F.lit(r_side).alias("_side"),
-        F.struct(*[F.col(c) for c in right_payload]).alias("_asof_payload"),
+        F.struct(
+            F.col(ts).alias("_match_ts"),
+            *[F.col(c) for c in right_payload],
+        ).alias("_asof_payload"),
     )
     lt = left.withColumn("_side", F.lit(l_side))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
@@ -83,6 +94,17 @@ def asof_join(
     carried = unioned.withColumn(
         "_asof_payload", pick("_asof_payload").over(w)
     )
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        staleness = (
+            F.col(ts) - F.col("_asof_payload._match_ts")
+            if direction == "backward"
+            else F.col("_asof_payload._match_ts") - F.col(ts)
+        )
+        carried = carried.withColumn(
+            "_asof_payload",
+            F.when(staleness <= tol, F.col("_asof_payload")),
+        )
     return carried.where(F.col("_side") == l_side).select(
         *[F.col(c) for c in left.columns],
         *[

@@ -1859,6 +1859,75 @@ def q_events_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas merge_asof's
+    ``tolerance``): a matched view older than 12 hours counts as no
+    match (~20% of clicks keep their match on the driver corpus — both
+    branches well-populated). Applied as a pure post-carry filter on the carried match ts
+    — same one-shuffle-one-sort plan. Oracle = DuckDB native ASOF with
+    the tolerance re-expressed as a CASE over the join result."""
+    from pdf2ocr_spark.functions.temporal import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    out = asof_join(
+        clicks, views, on="user_id", ts="ts",
+        right_payload=("ts", "view_id", "value"),
+        tolerance="12 hours",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts"),
+        F.col("asof_view_id").alias("view_id"),
+        F.date_format("asof_ts", _TS_FMT).alias("view_ts"),
+        F.floor(F.col("asof_value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("view_value_bp"),
+    )
+
+
+SQL_EVENTS_ASOF_TOL = """
+WITH clicks AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'
+),
+views AS (
+    SELECT user_id, ts, max(event_id) AS view_id,
+           arg_max(value, event_id) AS value
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+),
+j AS (
+    SELECT l.click_id, l.user_id, l.ts AS lts, r.ts AS rts,
+           r.view_id, r.value,
+           (r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL 12 HOUR)
+               AS in_tol
+    FROM clicks l
+    ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT click_id, user_id,
+       strftime(lts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CASE WHEN in_tol THEN view_id END AS view_id,
+       CASE WHEN in_tol
+            THEN strftime(rts, '%Y-%m-%d %H:%M:%S.%f') END AS view_ts,
+       CASE WHEN in_tol
+            THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END
+           AS view_value_bp
+FROM j
+"""
+
+
 SQL_EVENTS_ASOF_FWD = """
 WITH clicks AS (
     SELECT user_id, ts, event_id AS click_id FROM events
@@ -2304,6 +2373,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_fwd": q_events_asof_fwd,
     "corpus_split": q_corpus_split,
     "sample_mixture": q_sample_mixture,
+    "events_asof_tol": q_events_asof_tol,
 }
 
 
@@ -2385,6 +2455,7 @@ ORACLE_SQL: Dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
     "corpus_split": SQL_CORPUS_SPLIT,
+    "events_asof_tol": SQL_EVENTS_ASOF_TOL,
     "sample_mixture": _mixture_sql(),
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "similarity_ivf_trained": _ivf_trained_sql(),
