@@ -1087,6 +1087,85 @@ FROM st
 """
 
 
+#: line-dedup segmentation: fixed non-overlapping token windows
+LINE_TOKS = 15
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level exact dedup: segment every document into
+    deterministic 15-token lines, keep only the corpus-wide FIRST
+    occurrence of each exact line (ordered by (doc_id, line_no)), and
+    report per-doc survival. Catches the partial-overlap duplication
+    document-level dedup misses (boilerplate lines, syndicated
+    paragraphs). The keeper rule is an order-free integer min — rank =
+    doc_id * 100000 + line_no — so the result is rerun-stable on any
+    partitioning.
+
+    Scale shape at 10^12 docs: one shuffle keyed on the line (at
+    production scale on xxhash64(line) — same plan, narrower rows),
+    map-side partial min; the join-back is on the same key, so AQE
+    reuses the exchange. No window over the corpus, no driver state."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split("text", " ")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.size(toks) - 1) / LINE_TOKS).cast("int"),
+        ),
+        lambda i: F.array_join(F.slice(toks, i * LINE_TOKS + 1, LINE_TOKS), " "),
+    )
+    l = docs.select("doc_id", F.posexplode(lines).alias("line_no", "line"))
+    rank = (F.col("doc_id") * 100000 + F.col("line_no")).cast("long")
+    keepers = (
+        l.select("line", rank.alias("rank"))
+        .groupBy("line")
+        .agg(F.min("rank").alias("keep_rank"))
+    )
+    flagged = l.withColumn("rank", rank).join(keepers, "line")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(F.col("rank") == F.col("keep_rank"), True)).alias(
+                "n_kept"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.expr("(20000 * n_kept + n_lines) div (2 * n_lines)")
+            .cast("long")
+            .alias("kept_bp"),
+        )
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+l AS (
+    SELECT doc_id, i AS line_no,
+           list_aggr(toks[i * {LINE_TOKS} + 1 : i * {LINE_TOKS} + {LINE_TOKS}],
+                     'string_agg', ' ') AS line,
+           doc_id * 100000 + i AS rank
+    FROM tok,
+         unnest(range(0, (len(toks) - 1) // {LINE_TOKS} + 1)) AS u(i)
+),
+keepers AS (
+    SELECT line, min(rank) AS keep_rank FROM l GROUP BY line
+)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (l.rank = k.keep_rank) AS BIGINT) AS n_kept,
+       CAST((20000 * count(*) FILTER (l.rank = k.keep_rank) + count(*))
+            // (2 * count(*)) AS BIGINT) AS kept_bp
+FROM l JOIN keepers k USING (line)
+GROUP BY l.doc_id
+"""
+
+
 #: train/val/test hash-split boundaries in bp of 10000
 SPLIT_VAL_LO, SPLIT_TEST_LO = 9800, 9900
 
@@ -2374,6 +2453,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split": q_corpus_split,
     "sample_mixture": q_sample_mixture,
     "events_asof_tol": q_events_asof_tol,
+    "line_dedup": q_line_dedup,
 }
 
 
@@ -2456,6 +2536,7 @@ ORACLE_SQL: Dict[str, str] = {
     "events_asof_fwd": SQL_EVENTS_ASOF_FWD,
     "corpus_split": SQL_CORPUS_SPLIT,
     "events_asof_tol": SQL_EVENTS_ASOF_TOL,
+    "line_dedup": SQL_LINE_DEDUP,
     "sample_mixture": _mixture_sql(),
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "similarity_ivf_trained": _ivf_trained_sql(),
