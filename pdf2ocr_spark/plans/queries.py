@@ -1369,6 +1369,29 @@ GROUP BY t.doc_id, t.n_grams
 """
 
 
+def q_decontaminate_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination DECISION applied to the corpus (the relation
+    training actually consumes — same closing move as dedup_applied):
+    every training document with NO benchmark 8-gram overlap, as
+    (doc_id, n_chars). The contaminated set is tiny by construction, so
+    the anti-join broadcasts at scale; AQE decides here."""
+    docs = _documents(spark, sf_dir)
+    contaminated = q_decontaminate(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+def _decontaminate_applied_sql() -> str:
+    return f"""
+WITH det AS ({SQL_DECONTAMINATE})
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+ANTI JOIN det ON d.doc_id = det.doc_id
+"""
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (p50/p95/p99 of value per event_type)
     — the monitoring rollup every event pipeline ships. Spark's exact
@@ -2454,6 +2477,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mixture": q_sample_mixture,
     "events_asof_tol": q_events_asof_tol,
     "line_dedup": q_line_dedup,
+    "decontaminate_applied": q_decontaminate_applied,
 }
 
 
@@ -2537,6 +2561,7 @@ ORACLE_SQL: Dict[str, str] = {
     "corpus_split": SQL_CORPUS_SPLIT,
     "events_asof_tol": SQL_EVENTS_ASOF_TOL,
     "line_dedup": SQL_LINE_DEDUP,
+    "decontaminate_applied": _decontaminate_applied_sql(),
     "sample_mixture": _mixture_sql(),
     "events_percentiles": SQL_EVENTS_PERCENTILES,
     "similarity_ivf_trained": _ivf_trained_sql(),
