@@ -249,3 +249,33 @@ def test_asof_forward_direction(spark):
     assert out[3] == (None, "near"), "matched row's NULL field leaked"
     assert out[5] == (None, "near"), "equal ts must match"
     assert out[10] == (None, None), "no following row -> all null"
+
+
+def test_adaptive_range_join_rerun_stable(spark, sf_dir):
+    """Routing never touches results: the sampled heavy set is
+    partition-dependent (Spark's seeded sample draws per partition),
+    but BOTH count paths are exact, so two runs over the same input at
+    different partitionings must return identical rows — the
+    rerun-stability contract of the operator."""
+    from pdf2ocr_spark.functions.temporal import range_count_join_adaptive
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    a = (
+        range_count_join_adaptive(
+            errors, clicks, width="5 minutes", sample_fraction=0.1,
+            heavy_per_band=8,
+        )
+        .toPandas().sort_values("error_id").reset_index(drop=True)
+    )
+    b = (
+        range_count_join_adaptive(
+            errors.repartition(7), clicks.repartition(5),
+            width="5 minutes", sample_fraction=0.1, heavy_per_band=8,
+        )
+        .toPandas().sort_values("error_id").reset_index(drop=True)
+    )
+    assert a.equals(b), "sampled routing changed the result across reruns"
