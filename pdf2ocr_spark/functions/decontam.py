@@ -70,3 +70,51 @@ def counted_ngrams_udf(n: int):
         return pd.Series(out)
 
     return grams
+
+
+def overlap_gate_udf(bench_grams: frozenset, n: int):
+    """pandas_udf: text -> True iff the document shares NO n-gram with
+    the benchmark set — the STREAM-safe decontamination gate. The
+    benchmark gram set ships in the UDF closure (serialized once per
+    executor, like a broadcast variable): an eval suite is small by
+    definition — thousands of documents, not trillions — so its
+    distinct grams fit executor memory, and the gate stays a stateless
+    per-row projection (no explode + regroup, which on a stream would
+    need aggregation state). Membership checks short-circuit on the
+    first hit."""
+
+    @F.pandas_udf("boolean")
+    def clean(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            if len(toks) < n:
+                out.append(True)
+                continue
+            out.append(
+                not any(
+                    " ".join(toks[i : i + n]) in bench_grams
+                    for i in range(len(toks) - n + 1)
+                )
+            )
+        return pd.Series(out)
+
+    return clean
+
+
+def collect_bench_grams(docs, n: int, mod: int, prefix_toks: int) -> frozenset:
+    """Driver-side build of the benchmark gram set from the same
+    deterministic slice the batch decontaminate query uses (doc_id %
+    mod == 0, first prefix_toks tokens). Bounded collect: the eval
+    slice, not the corpus."""
+    rows = (
+        docs.where(F.col("doc_id") % mod == 0)
+        .select(F.slice(F.split("text", " "), 1, prefix_toks).alias("t"))
+        .collect()
+    )
+    grams = set()
+    for r in rows:
+        toks = r["t"]
+        for i in range(max(len(toks) - n + 1, 0)):
+            grams.add(" ".join(toks[i : i + n]))
+    return frozenset(grams)

@@ -88,3 +88,46 @@ def test_chained_stream_dedup_then_clean(spark, sf_dir, dirs):
     run_chained_stream(spark, dirs["input"], dirs["output"], dirs["ckpt"])
     again = spark.read.parquet(dirs["output"]).toPandas()
     assert len(again) == len(got)
+
+
+def test_chained_stream_with_decontamination_gate(spark, sf_dir, dirs):
+    """The optional decontamination stage: streamed kept-doc set equals
+    the batch composition (exact dedup -> decontaminate_applied ->
+    clean), i.e. no contaminated doc emits chunks."""
+    from pdf2ocr_spark.functions.decontam import collect_bench_grams
+    from pdf2ocr_spark.plans.queries import (
+        DECONTAM_MOD,
+        DECONTAM_N,
+        DECONTAM_PREFIX_TOKS,
+        q_decontaminate,
+    )
+
+    docs = load_documents(spark, sf_dir).select(*COLS)
+    docs.write.mode("append").parquet(dirs["input"])
+    grams = collect_bench_grams(
+        docs, DECONTAM_N, DECONTAM_MOD, DECONTAM_PREFIX_TOKS
+    )
+    assert grams, "benchmark gram set must be non-empty"
+    run_chained_stream(
+        spark, dirs["input"], dirs["output"], dirs["ckpt"],
+        bench_grams=grams,
+    )
+    got = spark.read.parquet(dirs["output"]).toPandas()
+
+    contaminated = {
+        int(r["doc_id"]) for r in q_decontaminate(spark, sf_dir).collect()
+    }
+    assert contaminated, "driver corpus seeds contamination by construction"
+    assert not (set(got["doc_id"].astype("int64")) & contaminated), (
+        "a contaminated doc leaked chunks"
+    )
+    # parity with the batch composition
+    keep = docs.join(
+        docs.groupBy(F.md5("text").alias("h")).agg(
+            F.min("doc_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    ).where(~F.col("doc_id").isin([int(x) for x in contaminated]))
+    want = clean_transform(keep).toPandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
