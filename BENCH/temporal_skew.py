@@ -32,7 +32,9 @@ pass against Python-worker spawn, min-of-ITERS walls):
 
 Usage: python BENCH/temporal_skew.py   (prints one JSON line)
 Env:   TSKEW_CPUS (32), TSKEW_MULT (50), TSKEW_HOT_TENTHS (4),
-       TSKEW_ITERS (3), SPARK_GRAFT_SF_DIR (/root/testdata/sf0.1)
+       TSKEW_BURST_TENTHS (1), TSKEW_BURST_DAYS (7), TSKEW_ITERS (3),
+       TSKEW_OPS (comma filter, all by default),
+       SPARK_GRAFT_SF_DIR (/root/testdata/sf0.1)
 """
 
 from __future__ import annotations
