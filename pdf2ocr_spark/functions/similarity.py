@@ -51,44 +51,207 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Exact top-k cosine neighbors for the query set. Query side is tiny
-    (N/QUERY_STRIDE rows) -> broadcast; the big side streams. Returns
-    (query_id, neighbor_id, rank, score)."""
+# ---------------------------------------------------------------------------
+# vectorized scoring kernels (round-6 optimization)
+#
+# The round-5 top-k operators computed every dot product / norm / LSH sign
+# as Catalyst ``zip_with``+``aggregate`` folds. Higher-order-function
+# lambdas are evaluated INTERPRETED per element (the same landmine the
+# decontamination kernel documents), and the broadcast-join shape
+# materialized the full N x N_QUERIES scored relation into the ranking
+# window. These numpy kernels evaluate the identical IEEE operation
+# sequence — acc = acc + x*y per dimension, in dimension order, all
+# doubles, no FMA (numpy elementwise multiply and add are separate ufunc
+# calls) — so every score/bucket/cell is BIT-IDENTICAL to the Catalyst
+# fold and the DuckDB oracle's sequential list_sum, while running ~50x
+# faster and emitting only per-slab top-k candidates (guide §4.2).
+# ---------------------------------------------------------------------------
+
+
+def _seq_norms(M: np.ndarray) -> np.ndarray:
+    """Sequential-fold L2 norms, same op order as the Catalyst `_norm`:
+    acc = acc + x_d * x_d over d, then sqrt."""
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for d in range(M.shape[1]):
+        acc = acc + M[:, d] * M[:, d]
+    return np.sqrt(acc)
+
+
+def _seq_dots(E: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(B, d) x (NQ, d) -> (B, NQ) dot products via the sequential
+    per-dimension fold (acc = acc + e_d * q_d in d order) — the exact
+    operation sequence of the Catalyst `_dot` and DuckDB's list_sum."""
+    acc = np.zeros((E.shape[0], Q.shape[0]), dtype=np.float64)
+    for d in range(E.shape[1]):
+        acc = acc + E[:, d : d + 1] * Q[None, :, d]
+    return acc
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _accumulate(it, target: int = 8192):
+    """Concatenate the session's small Arrow batches (the extraction
+    kernel tunes maxRecordsPerBatch=128) into slabs big enough for the
+    numpy kernels to amortize."""
+    buf, n = [], 0
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        buf.append(pdf)
+        n += len(pdf)
+        if n >= target:
+            yield pd.concat(buf, ignore_index=True)
+            buf, n = [], 0
+    if buf:
+        yield pd.concat(buf, ignore_index=True)
+
+
+def _collect_queries(embeddings: DataFrame) -> tuple:
+    """Bounded collect of the deterministic query set (<= N_QUERIES rows
+    by construction — the same constant-size contract as the IVF
+    centroid collect), sorted by query_id."""
+    rows = (
+        embeddings.where(_query_filter(F.col("vec_id")))
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = (
+        np.array([r["e"] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, DIM), dtype=np.float64)
+    )
+    return qids, Q
+
+
+def _fan_out_vecs(df: DataFrame) -> DataFrame:
+    """Round-robin repartition before the CPU-heavy scoring kernel: the
+    single-file sandbox corpus arrives as ONE scan split (see
+    dedup._fan_out); at production split counts this is a no-op-cost
+    move of each narrow row once."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
+def _topk_candidates(
+    embeddings: DataFrame,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    mode: str,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Per-slab top-k candidate relation (query_id, neighbor_id, score)
+    for the three top-k operators. ``mode``:
+
+    - 'exact': every (row, query) pair scores (minus self);
+    - 'lsh':   rows whose 8-plane bucket is in the query's multi-probe
+               set (own bucket + N_PLANES Hamming-1 flips);
+    - 'ivf':   rows whose IVF cell equals the query's cell.
+
+    Emits ONLY each slab's top-k per query under the global
+    (score desc, neighbor_id asc) order — selection-exact: the global
+    top-k is a subset of the union of slab top-ks — so the caller's
+    ranking window sees O(slabs * NQ * k) rows instead of the full
+    candidate product."""
+    qn = _seq_norms(Q) if len(Q) else np.zeros(0)
+    P = qprobes = C = qcell = None
+    pow2 = 1 << np.arange(N_PLANES, dtype=np.int64)
+    if mode == "lsh":
+        P = np.array(
+            [_plane_coefs(p) for p in range(N_PLANES)], dtype=np.float64
+        )
+        qbucket = ((_seq_dots(Q, P) > 0).astype(np.int64) * pow2).sum(axis=1)
+        masks = np.concatenate([[0], pow2])  # own bucket + 1-bit flips
+        qprobes = qbucket[:, None] ^ masks[None, :]  # (NQ, N_PLANES+1)
+    elif mode == "ivf":
+        C = np.asarray(centroids, dtype=np.float64)
+        qcell = (
+            np.argmax(_seq_dots(Q, C), axis=1) if len(Q) else np.zeros(0, int)
+        )
+
+    def kernel(it):
+        for pdf in _accumulate(it):
+            if len(qids) == 0:
+                return
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = _stack(pdf["e"])
+            nrm = _seq_norms(E)
+            s = _seq_dots(E, Q) / (qn[None, :] * nrm[:, None])
+            allowed = ids[:, None] != qids[None, :]
+            if mode == "lsh":
+                bucket = ((_seq_dots(E, P) > 0).astype(np.int64) * pow2).sum(
+                    axis=1
+                )
+                allowed &= (
+                    bucket[:, None, None] == qprobes[None, :, :]
+                ).any(axis=2)
+            elif mode == "ivf":
+                cell = np.argmax(_seq_dots(E, C), axis=1)
+                allowed &= cell[:, None] == qcell[None, :]
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                idx = np.flatnonzero(allowed[:, j])
+                if len(idx) == 0:
+                    continue
+                if len(idx) > k:
+                    order = np.lexsort((ids[idx], -s[idx, j]))[:k]
+                    idx = idx[order]
+                out_q.append(np.full(len(idx), qids[j], dtype=np.int64))
+                out_n.append(ids[idx])
+                out_s.append(s[idx, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    base = _fan_out_vecs(
+        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    )
+    return base.mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, score double"
+    )
+
+
+def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Global (score desc, neighbor_id asc) ranking over the slab-local
+    candidates; identical output contract to the round-5 window."""
     from pyspark.sql.window import Window
 
-    base = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("nrm", _norm(F.col("e")))
-    queries = base.where(_query_filter(F.col("vec_id"))).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-    )
-    scored = (
-        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
-                "score"
-            ),
-        )
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
             # fixed-point score: round() differs by 1 ulp across engines
-            F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_bp"),
+            F.floor(F.col("score") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("score_bp"),
         )
     )
+
+
+def cosine_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors for the query set. The bounded query
+    set (constant-size by _query_filter) is collected once and shipped in
+    the kernel closure; scoring + slab top-k run in one vectorized map
+    stage, and only O(slabs * NQ * k) candidates reach the ranking
+    window. Returns (query_id, neighbor_id, rank, score_bp), bit-identical
+    to the round-5 broadcast-join + window form."""
+    qids, Q = _collect_queries(embeddings)
+    return _rank_topk(_topk_candidates(embeddings, qids, Q, k, "exact"), k)
 
 
 def _plane_coefs(plane: int) -> list:
@@ -174,55 +337,42 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second ANN scale path
     next to ann_lsh_topk: a deterministic coarse quantizer (centroids =
-    the first ``n_cells`` vectors; a trained k-means would slot in
-    identically) partitions the corpus into cells, and each query probes
-    only its own cell. At scale the table is written partitioned by cell
-    id, so a probe touches one partition. The query-probe join is a
-    BroadcastHashJoin on cell id (constant-size broadcast query side).
+    the first ``n_cells`` vectors; a trained k-means slots in via
+    ``centroids=``) partitions the corpus into cells, and each query
+    probes only its own cell. At scale the table is written partitioned
+    by cell id, so a probe touches one partition. Round 6: one combined
+    bounded collect fetches default centroids AND the query set in a
+    single job, and scoring runs in the shared vectorized kernel
+    (mode='ivf') instead of a broadcast join of interpreted HOF dots.
     Returns (query_id, neighbor_id, rank, score_bp); recall < 1 is the
     IVF approximation, deterministic in both engines."""
-    from pyspark.sql.window import Window
-
     if centroids is None:
-        cent_rows = (
-            embeddings.where(F.col("vec_id") < n_cells)
+        # ONE bounded collect serves centroid init and the query set
+        rows = (
+            embeddings.where(
+                (F.col("vec_id") < n_cells) | _query_filter(F.col("vec_id"))
+            )
             .select("vec_id", _as_double(F.col("embedding")).alias("e"))
             .collect()
         )
-        centroids = [r["e"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])]
-
-    assign = ivf_assign_udf(centroids)
-    base = (
-        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .withColumn("nrm", _norm(F.col("e")))
-        .withColumn("cell", assign(F.col("e")))
-    )
-    queries = base.where(_query_filter(F.col("vec_id"))).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-        F.col("cell").alias("qcell"),
-    )
-    scored = base.join(
-        F.broadcast(queries),
-        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (_dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
-            "score"
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_bp"),
+        rows.sort(key=lambda r: r["vec_id"])
+        centroids = [r["e"] for r in rows if r["vec_id"] < n_cells]
+        qrows = [
+            r
+            for r in rows
+            if r["vec_id"] % QUERY_STRIDE == 0
+            and r["vec_id"] < QUERY_STRIDE * N_QUERIES
+        ]
+        qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        Q = (
+            np.array([r["e"] for r in qrows], dtype=np.float64)
+            if qrows
+            else np.zeros((0, DIM), dtype=np.float64)
         )
+    else:
+        qids, Q = _collect_queries(embeddings)
+    return _rank_topk(
+        _topk_candidates(embeddings, qids, Q, k, "ivf", centroids=centroids), k
     )
 
 
@@ -253,44 +403,49 @@ def embedding_near_dup_pairs(embeddings: DataFrame) -> DataFrame:
     below 1.0 is inherent LSH semantics (a twin can flip a near-zero
     plane sign), deterministically identical in both engines.
 
-    The bucketed relation is repartitioned before the self-join so both
-    sides reuse ONE evaluation of the norm+bucket computation (see
-    dedup.minhash_lsh_pairs for the ReusedExchange rationale).
-    """
-    bucketed = (
-        with_near_dup_vectors(embeddings)
-        .withColumn("nrm", _norm(F.col("e")))
-        .withColumn("bucket", lsh_bucket(F.col("e")))
-        .repartition("vec_id")
-    )
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("e_a"),
-        F.col("nrm").alias("nrm_a"),
-        "bucket",
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("e_b"),
-        F.col("nrm").alias("nrm_b"),
-        "bucket",
-    )
-    return (
-        a.join(b, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.floor(
-                _dot(F.col("e_a"), F.col("e_b"))
-                / (F.col("nrm_a") * F.col("nrm_b"))
-                * 10000
-                + F.lit(0.5)
+    Round 6: the bucket is assigned by the vectorized plane kernel
+    (sequential fold — bit-identical to the interpreted `lsh_bucket`
+    HOFs it replaces) and the within-bucket pairing runs as ONE grouped
+    kernel (applyInPandas per bucket): each vector's 64 doubles cross
+    the wire ONCE per bucket instead of once per candidate pair, and the
+    B x B dot-product block is numpy instead of per-pair interpreted
+    folds. One shuffle (by bucket), output only the cos >= 0.9 pairs."""
+    P = np.array([_plane_coefs(p) for p in range(N_PLANES)], dtype=np.float64)
+    pow2 = 1 << np.arange(N_PLANES, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def bucket_of(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=np.int64)
+        E = _stack(embs)
+        return pd.Series(((_seq_dots(E, P) > 0).astype(np.int64) * pow2).sum(axis=1))
+
+    def pairs_in_bucket(key, pdf: pd.DataFrame):
+        order = np.argsort(pdf["vec_id"].to_numpy(dtype=np.int64))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        E = _stack(pdf["e"])[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_bp": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cos_bp": np.int64}
             )
-            .cast("long")
-            .alias("cos_bp"),
+        nrm = _seq_norms(E)
+        dots = _seq_dots(E, E)  # (n, n) sequential-fold grid
+        # cos_bp exactly as the Catalyst form: dot / (nrm_a * nrm_b)
+        # * 10000 + 0.5, floored — nrm_a is the SMALLER id's norm
+        cos = dots / (nrm[:, None] * nrm[None, :]) * 10000 + 0.5
+        ia, ib = np.triu_indices(n, k=1)  # vec_a < vec_b via sorted ids
+        bp = np.floor(cos[ia, ib]).astype(np.int64)
+        keep = bp >= NEAR_DUP_MIN_BP
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos_bp": bp[keep]}
         )
-        .where(F.col("cos_bp") >= NEAR_DUP_MIN_BP)
+
+    bucketed = with_near_dup_vectors(embeddings).withColumn(
+        "bucket", bucket_of(F.col("e"))
+    )
+    return bucketed.groupBy("bucket").applyInPandas(
+        pairs_in_bucket, schema="vec_a long, vec_b long, cos_bp long"
     )
 
 
@@ -299,54 +454,15 @@ def ann_lsh_topk(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     and its ``N_PLANES`` Hamming-1 neighbor buckets (multi-probe LSH —
     single-bucket probing recalls ~2% of true neighbors on this corpus;
     probing the 1-bit-flip buckets lifts recall ~10x for 9x candidates).
-    Scale shape is unchanged: the probe expansion multiplies only the
-    CONSTANT-size broadcast query side, and the join stays a hash
-    equality join on bucket id (probed buckets are disjoint, so no
-    dedup). Returns (query_id, neighbor_id, rank, score) — may differ
-    from exact top-k (that is the approximation), deterministically in
-    both engines."""
-    from pyspark.sql.window import Window
-
-    base = (
-        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .withColumn("nrm", _norm(F.col("e")))
-        .withColumn("bucket", lsh_bucket(F.col("e")))
-    )
-    probe_masks = F.array(F.lit(0), *[F.lit(1 << p) for p in range(N_PLANES)])
-    queries = (
-        base.where(_query_filter(F.col("vec_id")))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.col("nrm").alias("qnrm"),
-            F.col("bucket").alias("qbucket"),
-            F.explode(probe_masks).alias("mask"),
-        )
-        .withColumn("pbucket", F.col("qbucket").bitwiseXOR(F.col("mask")))
-    )
-    cands = base.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("pbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
-    scored = cands.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (_dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))).alias(
-            "score"
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.floor(F.col("score") * 10000 + F.lit(0.5)).cast("long").alias("score_bp"),
-        )
-    )
+    Round 6: the bounded query set (buckets included) ships in the
+    kernel closure and bucket assignment + probe matching + scoring run
+    in the shared vectorized kernel (mode='lsh'), bit-identical to the
+    round-5 interpreted-HOF broadcast-join form. Returns
+    (query_id, neighbor_id, rank, score_bp) — may differ from exact
+    top-k (that is the approximation), deterministically in both
+    engines."""
+    qids, Q = _collect_queries(embeddings)
+    return _rank_topk(_topk_candidates(embeddings, qids, Q, k, "lsh"), k)
 
 
 KMEANS_SCALE = 1_000_000  # fixed-point micro-units for order-free sums
@@ -379,17 +495,23 @@ def kmeans_train(
     centroid. Returns (centroids, history): centroids is the
     ``n_cells x dim`` float list for ivf_assign_udf, history the
     per-iteration (objective_bp, n_nonempty) list."""
-    # one fetch serves both the empty guard and the dim probe: first()
-    # is None on an empty relation and the embedding itself may be null
-    # — both must raise the contract's ValueError, not a TypeError
-    head = embeddings.select(_as_double(F.col("embedding"))).first()
-    if head is None or head[0] is None:
-        raise ValueError("embeddings relation is empty")
-    dim = len(head[0])
+    # The norm comes from the vectorized sequential-fold kernel (bit-
+    # identical to the Catalyst `_norm` fold): as a plain UDF-output
+    # attribute it is evaluated ONCE per row, where the round-5 Catalyst
+    # `_norm` column got re-inlined by CollapseProject into every element
+    # of the quantization lambda (64 elements x 64-term interpreted fold
+    # per row — measured 6.2 s of the 7.5 s construction at sf1.0). The
+    # round() quantization itself stays in the JVM so its exact
+    # BigDecimal HALF_UP semantics are untouched.
+    @F.pandas_udf("double")
+    def nrm_np(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=np.float64)
+        return pd.Series(_seq_norms(_stack(embs)))
 
     base = (
         embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("nrm", nrm_np(F.col("e")))
         .select(
             "vec_id",
             F.transform(
@@ -404,8 +526,13 @@ def kmeans_train(
     # sparse or offset, and a short centroid list would IndexError in
     # the empty-cell backfill below), unit-quantized back to floats
     init = base.orderBy("vec_id").limit(n_cells).collect()
-    if not init:
+    # the init fetch doubles as the empty guard and the dim probe
+    # (round 6: the separate first() probe job is folded in here): an
+    # empty relation or a null first embedding must raise the contract's
+    # ValueError, not a TypeError
+    if not init or init[0]["eq"] is None:
         raise ValueError("kmeans_train: embeddings relation is empty")
+    dim = len(init[0]["eq"])
     cents = [
         [v / KMEANS_SCALE for v in r["eq"]]
         for r in sorted(init, key=lambda r: r["vec_id"])

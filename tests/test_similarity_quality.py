@@ -72,9 +72,12 @@ def test_ivf_scales_to_k256(spark):
     out = ivf_topk(emb, n_cells=k_cells)
 
     # plan audit: no literal explosion (the K=256 x 64-dim matrix would be
-    # ~16k inlined literals), probe join broadcasts
+    # ~16k inlined literals — it ships in the kernel closure instead), and
+    # since round 6 the probe matching happens INSIDE the vectorized
+    # kernel: the plan has no join node at all, just MapInPandas -> window
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     assert len(plan) < 50_000, f"plan blew up to {len(plan)} chars"
 
     pdf = out.toPandas()
