@@ -1663,6 +1663,51 @@ def _enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _enriched_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) stream of the Zipf-enriched derivation — the form
+    the vocabulary/tf-idf consumers actually need. Equivalent to
+    ``split(_enriched_documents().text, ' ')`` exploded, but ~10x faster
+    (guide §1.2/§4.1): ``_enriched_documents`` evaluates the per-token md5
+    inside an ``ArrayTransform`` lambda, which runs INTERPRETED per
+    element, and the projection sits BELOW the fan-out exchange, so the
+    whole enrichment ran serialized on the single scan split. Here the
+    raw docs fan out FIRST, ``posexplode`` flattens the token stream, and
+    the md5 + integer-rank math compiles to whole-stage codegen over flat
+    rows — bit-identical integer arithmetic, same (doc_id, pos, token)
+    md5 inputs, so every derived token string is unchanged."""
+    docs = _fan_out(_documents(spark, sf_dir).select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    two32 = F.lit(4294967296).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                    F.col("t"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") + F.lit(1).cast("long")
+    # exact integer floor(2^32 / h): see _enriched_documents
+    rank = ((two32 - F.pmod(two32, h)) / h).cast("long")
+    return tok.select(
+        "doc_id",
+        F.concat_ws(
+            "_",
+            F.col("t"),
+            F.least(F.lit(VOCAB_ZIPF_V).cast("long"), rank).cast("string"),
+        ).alias("token"),
+    )
+
+
 #: DuckDB twin of _enriched_documents — WITH-clause body (no leading
 #: WITH) so consumers can prepend it to their own CTE chains. Multiple
 #: unnests in one SELECT zip positionally in DuckDB; string_agg ORDER BY
@@ -1699,10 +1744,7 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering + LIMIT compiles to TakeOrderedAndProject, which keeps only
     K rows per partition before the final merge — no global sort at
     10^12 docs."""
-    docs = _fan_out(_enriched_documents(spark, sf_dir))
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
+    tok = _enriched_tokens(spark, sf_dir)
     per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
     return (
         per_doc.groupBy("token")
@@ -1747,11 +1789,10 @@ def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition top-K, no global sort."""
     from pyspark.sql.window import Window
 
-    docs = _fan_out(_enriched_documents(spark, sf_dir))
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tok = _enriched_tokens(spark, sf_dir)
     per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfrel = per_doc.groupBy("token").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
+    n = _documents(spark, sf_dir).agg(F.count("*").alias("n_docs"))
     scored = (
         per_doc.join(dfrel, "token")
         .crossJoin(F.broadcast(n))
