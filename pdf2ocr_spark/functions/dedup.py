@@ -217,60 +217,235 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     return pairs
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard over the shingle inverted index.
+#: output schema of the blocked-intersection kernel (see _jaccard_block_kernel)
+_JACCARD_BLOCK_SCHEMA = (
+    "doc_a long, doc_b long, n_inter long, sh_a long, sh_b long"
+)
 
-    Join is blocked on shared shingles (docs with no common shingle never
-    meet); hot shingles (document frequency > MAX_SHINGLE_DF) are dropped
-    from the index, the standard web-scale cap.
 
-    All derived relations (per-doc sizes, per-shingle document frequency,
-    the filtered index) hang off ONE exchanged shingle relation, so the
-    runtime reuses a single scan+explode evaluation; a window-count
-    formulation was tried and rejected — it forces two full sorts of the
-    exploded shingle-string relation and measured ~35% slower than the
-    hash-aggregate shape.
+def _jaccard_block_kernel(threshold: float):
+    """Per-(block_i, block_j) exact intersection counts, numpy-vectorized.
 
-    The hot cap is applied as a broadcast ANTI-join against the tiny HOT
-    set plus an explicit repartition("shingle") feeding the self-join
-    (round-3 rebuild, measured at sf0.1/local[32]): the round-2 form
-    inner-joined the index with the large `rare` relation (one full
-    index exchange, 5.7s warm); a bare anti-join without the repartition
-    is WORSE (the self-join then re-exchanges both sides, 5.8s+ with
-    broadcast-barrier variance); anti-join + one explicit exchange that
-    BOTH self-join sides reuse runs 2.7-3.9s warm."""
+    Receives both blocks' per-doc rare-shingle STRING arrays (strings, not
+    hashes — exactness is unconditional), builds a task-local dense code
+    dictionary with np.unique, enumerates every co-occurrence of the two
+    blocks with sort/repeat arithmetic (no Python loop over shingles),
+    counts pairs via one np.unique over packed 64-bit (row_a, row_b) keys,
+    and emits ONLY pairs whose jaccard can still reach the threshold
+    (pre-filter at threshold - 1e-4 — a margin 12 orders of magnitude
+    above float64 error, so no qualifying pair is ever dropped; the final
+    round()+filter runs in Catalyst with the exact original expression).
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_inter": pd.Series([], dtype="int64"),
+                "sh_a": pd.Series([], dtype="int64"),
+                "sh_b": pd.Series([], dtype="int64"),
+            }
+        )
+        diag = bool(pdf["i"].iat[0] == pdf["j"].iat[0])
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1] if not diag else left
+        if not len(left) or not len(right):
+            return empty
+
+        def flat(rows: pd.Series) -> tuple:
+            lens = np.fromiter(
+                (len(r) for r in rows), dtype=np.int64, count=len(rows)
+            )
+            strs = np.concatenate([np.asarray(r, dtype=object) for r in rows])
+            row_idx = np.repeat(np.arange(len(rows), dtype=np.int64), lens)
+            return strs, row_idx
+
+        ls, lrow = flat(left["rset"])
+        rs, rrow = flat(right["rset"]) if not diag else (ls, lrow)
+        # task-local dense shingle codes over BOTH sides: exact string
+        # equality via pandas' C hash table (np.unique on object strings
+        # would sort with per-element Python compares)
+        inv, codes = pd.factorize(np.concatenate([ls, rs]))
+        inv = inv.astype(np.int64)
+        lcode, rcode = inv[: len(ls)], inv[len(ls):]
+        n_codes = len(codes)
+
+        # sort each side's (code, row) postings by code
+        lo = np.argsort(lcode, kind="stable")
+        ro = np.argsort(rcode, kind="stable")
+        lcode_s, lrow_s = lcode[lo], lrow[lo]
+        rcode_s, rrow_s = rcode[ro], rrow[ro]
+        # postings-list boundaries per code on each side
+        lcnt = np.bincount(lcode_s, minlength=n_codes)
+        rcnt = np.bincount(rcode_s, minlength=n_codes)
+        rstart = np.zeros(n_codes, dtype=np.int64)
+        np.cumsum(rcnt[:-1], out=rstart[1:])
+
+        # enumerate co-occurrences: every L posting crosses every R
+        # posting of the same code — all repeat/arange arithmetic
+        rep = rcnt[lcode_s]                      # per-L-posting fan-out
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        a_rows = np.repeat(lrow_s, rep)
+        out_start = np.zeros(len(rep), dtype=np.int64)
+        np.cumsum(rep[:-1], out=out_start[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(out_start, rep)
+        b_rows = rrow_s[np.repeat(rstart[lcode_s], rep) + within]
+        if diag:
+            # on the diagonal each unordered pair is enumerated both ways;
+            # keep one orientation early (halves the pack+count below)
+            m = a_rows < b_rows
+            a_rows, b_rows = a_rows[m], b_rows[m]
+            if not len(a_rows):
+                return empty
+
+        # count pairs: one sort over packed 64-bit local row keys
+        keys = a_rows << np.int64(32) | b_rows
+        upair, n_inter = np.unique(keys, return_counts=True)
+        ar = (upair >> np.int64(32)).astype(np.int64)
+        br = (upair & np.int64(0xFFFFFFFF)).astype(np.int64)
+
+        la_ids = left["doc_id"].to_numpy()
+        ra_ids = right["doc_id"].to_numpy()
+        la_nsh = left["n_sh"].to_numpy()
+        ra_nsh = right["n_sh"].to_numpy()
+        doc_a = la_ids[ar]
+        doc_b = ra_ids[br]
+        sh_a = la_nsh[ar]
+        sh_b = ra_nsh[br]
+        # each unordered pair was enumerated exactly once (the diagonal
+        # early-mask keeps one local orientation); emit as (min, max)
+        swap = doc_a > doc_b
+        doc_a, doc_b = np.where(swap, doc_b, doc_a), np.where(swap, doc_a, doc_b)
+        sh_a, sh_b = np.where(swap, sh_b, sh_a), np.where(swap, sh_a, sh_b)
+        # lossless pre-filter: margin far above float64 rounding error
+        keep = n_inter / (sh_a + sh_b - n_inter) >= threshold - 1e-4
+        return pd.DataFrame(
+            {
+                "doc_a": doc_a[keep],
+                "doc_b": doc_b[keep],
+                "n_inter": n_inter[keep].astype(np.int64),
+                "sh_a": sh_a[keep],
+                "sh_b": sh_b[keep],
+            }
+        )
+
+    return kernel
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, blocks: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard via a BLOCKED all-pairs intersection kernel.
+
+    The round-3..5 plan self-joined the shingle inverted index and
+    hash-aggregated every co-occurrence row: sum_s df(s)^2 rows, which
+    grows QUADRATICALLY with corpus density — 2.8e6 pair rows at sf0.1
+    but 1.4e8 at 10x (24 s wall, almost all of it the two hash-aggregate
+    passes + the 1e8-row exchange). The blocked form moves the pairwise
+    work into a numpy kernel and NEVER shuffles a pair row (guide §8 —
+    decide with small rows: the only wide shuffle left is B+1 copies of
+    the per-doc shingle-set relation, linear in the corpus):
+
+    - per doc: (doc_id, n_sh, rare-shingle array) — n_sh counts ALL
+      distinct shingles, the array keeps df <= MAX_SHINGLE_DF ones
+      (identical semantics to the old sizes/hot-cap split);
+    - docs hash into B blocks (B ~ sqrt(2 * shuffle partitions), so
+      B(B+1)/2 tasks ~ the session's parallelism; every unordered block
+      pair is one task and every doc pair lands in exactly one task);
+    - the kernel computes exact intersection counts for its block pair
+      with sort/repeat postings arithmetic (C speed, no Python loop) and
+      emits only pairs at/above threshold - 1e-4 — a handful of rows;
+    - the ORIGINAL Catalyst expression computes round(jaccard, 4) and
+      the >= threshold filter on those rows, so emitted values are
+      bit-identical to the round-5 plan (verified by result hash at
+      sf0.01/sf0.1/10x).
+
+    Total kernel work is still sum_s df_rare(s)^2 integer ops — but as
+    vectorized numpy over local arrays instead of shuffled+aggregated
+    rows (measured ~20x cheaper per co-occurrence), and the B-way
+    replication is the standard blocked all-pairs trade: bytes moved =
+    (B+1) * index size, tunable against cluster width at 10^12 docs."""
+    import math
+
     docs = _fan_out(with_near_dup_corpus(documents))
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-
-    # hot-shingle cap as a broadcast ANTI-join: the HOT set (df >
-    # MAX_SHINGLE_DF) is tiny and bounded (at most total_occurrences/MAX_DF
-    # distinct shingles), so it broadcasts; the inverted index itself never
-    # shuffles for the filter. The complementary inner-join-with-rare form
-    # exchanged the full index by shingle string — one large shuffle more.
+    if blocks is None:
+        n_part = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        blocks = max(2, int(math.ceil(math.sqrt(2 * n_part))))
+    arr = (
+        docs.select("doc_id", word_shingles(F.col("text")).alias("arr"))
+        .withColumn("n_sh", F.size("arr"))
+        .repartition("doc_id")
+    )
+    # hot-shingle cap: the HOT set (df > MAX_SHINGLE_DF) is tiny and
+    # bounded (at most total_occurrences/MAX_DF shingles), so it rides a
+    # single-row broadcast aggregate and the rare filter is a per-row
+    # array_except — no explode + collect_list regroup of the index (the
+    # round-5 shape; an explode->anti-join->collect_list rebuild of the
+    # arrays measured 14.5 s of the 24 s total at 10x)
+    # explode_OUTER, deliberately: with a plain explode the optimizer's
+    # InferFiltersFromGenerate rule synthesizes `size(arr)>0 AND
+    # isnotnull(arr)`, filter-pushdown re-inlines the whole word_shingles
+    # HOF into that predicate and pushes it to the parquet SCAN — two
+    # extra interpreted evaluations per row on the pre-fan-out scan split
+    # (measured 11 s of the 24 s total at 10x, single-threaded). The rule
+    # skips outer generates; word_shingles never returns an empty/null
+    # array (short texts fall back to [text]), so the outer variant emits
+    # the identical rows.
     hot = (
-        sh.groupBy("shingle")
+        arr.select(F.explode_outer("arr").alias("shingle"))
+        .groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
+        .agg(F.collect_list("shingle").alias("hot_arr"))
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti").repartition("shingle")
-
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+    docsets = (
+        arr.crossJoin(F.broadcast(hot))
         .select(
+            "doc_id",
+            "n_sh",
+            F.array_except("arr", F.coalesce("hot_arr", F.array())).alias(
+                "rset"
+            ),
+        )
+        .where(F.size("rset") > 0)
+    )
+
+    b = F.pmod(F.col("doc_id"), F.lit(blocks)).cast("int")
+    with_b = docsets.withColumn("blk", b)
+    # replicate each block to its B+1 block-pair tasks; the diagonal task
+    # reads only the L copy (side 0) to avoid double-shipping
+    left = with_b.select(
+        "doc_id",
+        "n_sh",
+        "rset",
+        F.col("blk").alias("i"),
+        F.explode(
+            F.sequence(F.col("blk"), F.lit(blocks - 1))
+        ).alias("j"),
+        F.lit(0).alias("side"),
+    )
+    right = with_b.where(F.col("blk") > 0).select(
+        "doc_id",
+        "n_sh",
+        "rset",
+        F.explode(
+            F.sequence(F.lit(0), F.col("blk") - 1)
+        ).alias("i"),
+        F.col("blk").alias("j"),
+        F.lit(1).alias("side"),
+    )
+    counts = (
+        left.unionByName(right)
+        .groupBy("i", "j")
+        .applyInPandas(_jaccard_block_kernel(threshold), _JACCARD_BLOCK_SCHEMA)
+    )
+    return (
+        counts.select(
             "doc_a",
             "doc_b",
             F.round(
@@ -281,7 +456,6 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
