@@ -61,6 +61,17 @@ def _fan_out(docs: DataFrame) -> DataFrame:
     return docs.repartition(n)
 
 
+def _no_push(cond: "F.Column") -> "F.Column":
+    """Pin an expensive filter ABOVE the fan-out exchange: appends an
+    always-false nondeterministic disjunct (monotonically_increasing_id()
+    < 0), which predicate pushdown will not move — without it the
+    optimizer inlines the filter's whole expression tree into the
+    single-row-group parquet scan and evaluates it on one core (a
+    projection-alias barrier column does not survive ColumnPruning).
+    Semantics unchanged: the disjunct never fires."""
+    return cond | (F.monotonically_increasing_id() < F.lit(0))
+
+
 def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
@@ -413,72 +424,81 @@ GROUP BY doc_id
 )
 
 
-def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repeated header/footer strip as a relational plan (ref
-    common.py:116-150): edge lines (first/last two by position) -> per-doc
-    distinct-page frequency >= 60% with >= 3 pages. Returns per-doc totals
-    (pages, boilerplate lines, kept lines).
+def _boilerplate_kernel(it):
+    """Per-document boilerplate totals, whole computation fused into one
+    Arrow kernel (see q_boilerplate_strip). Implements exactly the shared
+    line spec: words = split(text, ' ') (empties kept), 2-word lines,
+    10-line pages, per-page header 'Journal of <source>' / footer
+    str(page_id+1), edge lines = first/last two by line_no within a page,
+    boiler = text hitting an edge slot on >= 60% of pages of a >= 3-page
+    doc (float compare, identical to the JVM double arithmetic)."""
+    import pandas as pd
 
-    SINGLE PASS over the exploded line relation: one page-window tags edge
-    lines, one (doc_id, line_text) aggregation collects occurrence counts +
-    edge-page hits, and the boiler decision + totals fold out of that small
-    aggregated relation (a doc_id window for n_pages, then a final doc_id
-    agg that reuses the window's partitioning — no extra exchange). Round 1
-    cached the line relation and re-aggregated it 3x + an anti-join
-    (6 exchanges); a cache of the exploded lines is not available at 100 TB.
-    """
-    from pyspark.sql.window import Window
-
-    lines = _all_lines(_documents(spark, sf_dir))
-
-    w_page = Window.partitionBy("doc_id", "page_id")
-    w_asc = w_page.orderBy("line_no")
-    # line_no is unique within a page, so rn_a > n_in_page - 2 is exactly
-    # the round-1 "row_number desc <= 2" edge predicate
-    tagged = lines.select(
-        "doc_id",
-        "page_id",
-        "line_text",
-        F.row_number().over(w_asc).alias("rn_a"),
-        F.count("*").over(w_page).alias("n_in_page"),
-    ).select(
-        "doc_id",
-        "line_text",
-        "page_id",
-        F.when(
-            (F.col("rn_a") <= 2) | (F.col("rn_a") > F.col("n_in_page") - 2),
-            F.lit(1),
+    for pdf in it:
+        out_doc, out_np, out_nb, out_nk = [], [], [], []
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            words = (text if text is not None else "").split(" ")
+            n_lines = (len(words) + 1) // 2
+            n_pages = (len(words) + 19) // 20
+            header = "Journal of " + source
+            occ: dict = {}
+            hits: dict = {}
+            for p in range(n_pages):
+                start = 10 * p
+                end = min(start + 10, n_lines)
+                occ[header] = occ.get(header, 0) + 1
+                footer = str(p + 1)
+                occ[footer] = occ.get(footer, 0) + 1
+                lines = [
+                    " ".join(words[2 * i : 2 * i + 2])
+                    for i in range(start, end)
+                ]
+                for lt in lines:
+                    occ[lt] = occ.get(lt, 0) + 1
+                for t in {header, footer, lines[0], lines[-1]}:
+                    hits[t] = hits.get(t, 0) + 1
+            n_boiler = 0
+            n_kept = 0
+            thresh = 0.6 * n_pages
+            for t, n in occ.items():
+                if n_pages >= 3 and hits.get(t, 0) >= thresh:
+                    n_boiler += 1
+                else:
+                    n_kept += n
+            out_doc.append(doc_id)
+            out_np.append(n_pages)
+            out_nb.append(n_boiler)
+            out_nk.append(n_kept)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "n_pages": pd.Series(out_np, dtype="int64"),
+                "n_boiler_lines": pd.Series(out_nb, dtype="int64"),
+                "n_kept_lines": pd.Series(out_nk, dtype="int64"),
+            }
         )
-        .otherwise(F.lit(0))
-        .alias("is_edge"),
-    )
 
-    # per-(doc,page,line_text) pre-agg reuses the page window's hash(doc,
-    # page) partitioning (subset of the grouping keys) -> NO exchange; the
-    # max(is_edge) collapses multiple edge hits of a line on one page so
-    # the next level's sum counts DISTINCT hit pages without an expand.
-    per_page_line = tagged.groupBy("doc_id", "page_id", "line_text").agg(
-        F.count("*").alias("n_occ_pg"),
-        F.max("is_edge").alias("edge_hit"),
-    )
-    per_line = per_page_line.groupBy("doc_id", "line_text").agg(
-        F.sum("n_occ_pg").alias("n_occ"),
-        F.sum("edge_hit").alias("n_hit_pages"),
-        F.max("page_id").alias("max_page"),
-    )
-    w_doc = Window.partitionBy("doc_id")
-    with_pages = per_line.withColumn(
-        "n_pages", F.max("max_page").over(w_doc) + 1
-    )
-    is_boiler = (F.col("n_pages") >= 3) & (
-        F.col("n_hit_pages") >= 0.6 * F.col("n_pages")
-    )
-    return with_pages.groupBy("doc_id").agg(
-        F.first("n_pages").cast("long").alias("n_pages"),
-        F.sum(F.when(is_boiler, 1).otherwise(0)).cast("long").alias("n_boiler_lines"),
-        F.sum(F.when(is_boiler, 0).otherwise(F.col("n_occ")))
-        .cast("long")
-        .alias("n_kept_lines"),
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated header/footer strip (ref common.py:116-150): edge lines
+    (first/last two by position) -> per-doc distinct-page frequency >=
+    60% with >= 3 pages. Returns per-doc totals (pages, boilerplate
+    lines, kept lines).
+
+    EVERY grouping key of this computation contains doc_id — it is a
+    pure per-document function — so the round-6 plan fuses the whole
+    thing into one mapInPandas kernel over the fanned-out scan: zero
+    shuffles, zero sorts, vs the round-5 relational form's 4 exchanges +
+    2 window sorts over the exploded line relation plus the interpreted
+    line-construction HOF (measured 7.6 s -> ~0.6 s at 10x; result
+    hashes identical at sf0.01/0.1/10x — the kernel implements the same
+    shared line spec the DuckDB oracle states relationally)."""
+    docs = _fan_out(_documents(spark, sf_dir).select("doc_id", "source", "text"))
+    return docs.mapInPandas(
+        _boilerplate_kernel,
+        "doc_id long, n_pages long, n_boiler_lines long, n_kept_lines long",
     )
 
 
@@ -796,19 +816,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf2ocr_spark.functions.quality import lang_id
 
-    return lang_id(_documents(spark, sf_dir))
+    # fan out: the docs parquet is one row group -> one scan split;
+    # the stopword-filter HOFs would otherwise run single-threaded
+    return lang_id(_fan_out(_documents(spark, sf_dir)))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf2ocr_spark.functions.quality import quality_score
 
-    return quality_score(_documents(spark, sf_dir))
+    return quality_score(_fan_out(_documents(spark, sf_dir)))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf2ocr_spark.functions.quality import fingerprint
 
-    return fingerprint(_documents(spark, sf_dir))
+    return fingerprint(_fan_out(_documents(spark, sf_dir)))
 
 
 # reference epub.py:11-27 Tesseract->Calibre language map (the EPUB sink's
@@ -975,17 +997,11 @@ _PII_URL = r"https?://[^ ]+"
 _PII_PHONE = r"\b555-[0-9]{4}\b"
 
 
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing (training-data pipeline tier): count + redact
-    emails / URLs / phone-shaped tokens from document text. The corpus
-    is synthetic and PII-free, so each doc is seeded with one
-    deterministic instance of each PII kind (derived from doc_id) before
-    scrubbing — the operator's effect is provable per row, not vacuous.
-    Pure JVM-side regexp expressions: codegen'd, zero shuffle, scales as
-    a map stage."""
-    docs = _documents(spark, sf_dir)
+def _pii_seeded_col() -> "F.Column":
+    """text with the deterministic per-doc PII seed appended (shared by
+    q_pii_scrub and the fused corpus_clean)."""
     did = F.col("doc_id").cast("string")
-    seeded = F.concat(
+    return F.concat(
         F.col("text"),
         F.lit(" contact user"), did,
         F.lit("@example.com via https://ex.org/d/"), did,
@@ -993,16 +1009,33 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
 
-    def _count(col, pat):
-        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long")
 
-    scrubbed = F.regexp_replace(
+def _pii_scrubbed_col(seeded: "F.Column") -> "F.Column":
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"),
             _PII_URL, "<URL>",
         ),
         _PII_PHONE, "<PHONE>",
     )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data pipeline tier): count + redact
+    emails / URLs / phone-shaped tokens from document text. The corpus
+    is synthetic and PII-free, so each doc is seeded with one
+    deterministic instance of each PII kind (derived from doc_id) before
+    scrubbing — the operator's effect is provable per row, not vacuous.
+    Pure JVM-side regexp expressions: codegen'd, scales as a map stage
+    (fanned out — the single-row-group scan split would otherwise run
+    all six regex passes on one core)."""
+    docs = _fan_out(_documents(spark, sf_dir))
+    seeded = _pii_seeded_col()
+
+    def _count(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long")
+
+    scrubbed = _pii_scrubbed_col(seeded)
     return docs.select(
         "doc_id",
         _count(seeded, _PII_EMAIL).alias("n_emails"),
@@ -1047,9 +1080,10 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens of overlap) — the
     context-window packing step an LLM-pretraining pipeline runs after
     cleaning/dedup. Pure JVM array ops (sequence/explode/slice), one
-    narrow explode whose fan-out is len/stride per doc; no shuffle, so
-    at 10^12 docs it stays a map stage fused with the scan."""
-    docs = _documents(spark, sf_dir)
+    narrow explode whose fan-out is len/stride per doc; fanned out over
+    the session's parallelism (single-row-group scan), then a map stage
+    end to end."""
+    docs = _fan_out(_documents(spark, sf_dir))
     toks = F.split("text", " ")
     with_starts = docs.select(
         "doc_id",
@@ -1101,12 +1135,24 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id * 100000 + line_no — so the result is rerun-stable on any
     partitioning.
 
-    Scale shape at 10^12 docs: one shuffle keyed on the line (at
-    production scale on xxhash64(line) — same plan, narrower rows),
-    map-side partial min; the join-back is on the same key, so AQE
-    reuses the exchange. No window over the corpus, no driver state."""
-    docs = _documents(spark, sf_dir)
+    Scale shape at 10^12 docs: ONE shuffle keyed on the line (at
+    production scale on xxhash64(line) — same plan, narrower rows) with
+    map-side partial min. The round-5 plan then JOINED the keeper ranks
+    back to the full exploded line relation to count survivors; but the
+    keeper's owning document is recoverable from the min-rank itself
+    (keep_rank div 100000 — ranks are unique, exactly one instance
+    attains the min), so per-doc survivor counts aggregate the SMALL
+    keeper relation directly and the per-doc line totals are a per-row
+    expression — the wide join-back, its exchange and its sort are gone
+    (3.3 s -> ~0.9 s at 10x, hashes identical; for a pathological
+    >=100k-line document the derived doc follows the same already-
+    documented rank-overflow semantics as the old rank == keep_rank
+    comparison — see What's-wrong #3 in VERDICT r05)."""
+    docs = _fan_out(_documents(spark, sf_dir).select("doc_id", "text"))
     toks = F.split("text", " ")
+    n_lines_expr = (
+        F.floor((F.size(toks) - 1) / LINE_TOKS).cast("long") + 1
+    )
     lines = F.transform(
         F.sequence(
             F.lit(0),
@@ -1121,20 +1167,25 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("line")
         .agg(F.min("rank").alias("keep_rank"))
     )
-    flagged = l.withColumn("rank", rank).join(keepers, "line")
+    kept_per_doc = keepers.groupBy(
+        (F.col("keep_rank") - F.pmod("keep_rank", F.lit(100000)))
+        .cast("long")
+        .alias("rank_base")
+    ).agg(F.count("*").alias("n_kept"))
+    totals = docs.select(
+        "doc_id",
+        n_lines_expr.alias("n_lines"),
+        (F.col("doc_id") * 100000).cast("long").alias("rank_base"),
+    )
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.count(F.when(F.col("rank") == F.col("keep_rank"), True)).alias(
-                "n_kept"
-            ),
-        )
+        totals.join(kept_per_doc, "rank_base", "left")
         .select(
             "doc_id",
             F.col("n_lines").cast("long").alias("n_lines"),
-            F.col("n_kept").cast("long").alias("n_kept"),
-            F.expr("(20000 * n_kept + n_lines) div (2 * n_lines)")
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.expr(
+                "(20000 * coalesce(n_kept, 0L) + n_lines) div (2 * n_lines)"
+            )
             .cast("long")
             .alias("kept_bp"),
         )
@@ -1294,7 +1345,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the per-doc overlap count, pre-aggregated map-side. At
     production scale the join key would be xxhash64(gram) instead of
     the gram string — same plan, narrower shuffle."""
-    docs = _documents(spark, sf_dir)
+    # fan out: the docs parquet is one row group -> one scan split; the
+    # training-side Arrow gram kernel would otherwise run on ONE core
+    docs = _fan_out(_documents(spark, sf_dir))
     toks = F.split("text", " ")
 
     # gram construction is a VECTORIZED Arrow kernel, not nested
@@ -1852,20 +1905,76 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> PII scrub -> context-window chunking of the scrubbed text.
     Output = the chunk relation a pretraining run would tokenize.
 
-    Plan shape: four doc_id equi-joins over per-doc relations (each a
-    narrow projection of the same scan — at 10^12 docs these co-partition
-    on doc_id and AQE picks shuffle or broadcast per stats), then the
-    shuffle-free sequence/explode/slice chunker."""
-    sampled = q_sample_stratified(spark, sf_dir).select("doc_id", "lang")
-    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_bp")
-    rep = q_quality_repetition(spark, sf_dir).select("doc_id", "is_repetitive")
-    scrub = q_pii_scrub(spark, sf_dir).select("doc_id", "scrubbed")
+    Round-6 plan shape: every gate is a PER-DOCUMENT function of the
+    same row, so the whole pipeline is ONE narrow pass — the cheap
+    sample-hash filter sits at the scan (prunes ~96% before anything
+    moves), the survivors fan out once, and quality / repetition / scrub
+    / chunking evaluate as row-local expressions above that single
+    exchange. The round-5 form ran the four sub-queries as separate
+    scans and equi-joined them (4 scans + 3 joins + their exchanges)
+    to re-associate columns that never left the row (5.4 s -> ~0.8 s at
+    10x, hashes identical). The expensive filters are wrapped in
+    _no_push so they stay ABOVE the fan-out exchange — without it,
+    predicate pushdown inlines the quality/repetition expression
+    trees into the single-row-group scan and serializes them; the
+    repetition gate itself folds to row-local expressions (dup-word mass
+    via array_distinct, top-bigram mass as the max run of the sorted
+    bigram array under F.aggregate — O(tokens) per row, evaluated only
+    for the sampled+quality survivors)."""
+    from pdf2ocr_spark.functions.dedup import base_hash
+    from pdf2ocr_spark.functions.quality import quality_bp_expr
+
+    docs = _documents(spark, sf_dir)
+    bucket = (
+        base_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":sample")))
+        % 10000
+    )
+    rate = F.lit(_SAMPLE_DEFAULT_BP)
+    for lang, bp_rate in sorted(_SAMPLE_RATES_BP.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(bp_rate)).otherwise(rate)
+    sampled = _fan_out(docs.where(bucket < rate))
+
+    toks0 = F.split("text", " ")
+    nw = F.size(toks0)
+    nd = F.size(F.array_distinct(toks0))
+    dup_bp = (
+        ((nw - nd) * 10000 - F.pmod((nw - nd) * 10000, nw)) / nw
+    ).cast("long")
+    g = F.when(
+        nw >= 2,
+        F.transform(
+            F.sequence(F.lit(0), nw - 2),
+            lambda i: F.array_join(F.slice(toks0, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gs = F.array_sort(g)
+    top = F.aggregate(
+        gs,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    n_grams = F.size(g)
+    top_bp = F.when(
+        n_grams > 0,
+        ((top * 10000 - F.pmod(top * 10000, n_grams)) / n_grams).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    is_repetitive = (dup_bp > DUP_WORD_MAX_BP) | (top_bp > TOP_BIGRAM_MAX_BP)
+
     base = (
-        sampled.join(quality, "doc_id")
-        .where(F.col("quality_bp") >= CLEAN_MIN_QUALITY_BP)
-        .join(rep, "doc_id")
-        .where(~F.col("is_repetitive"))
-        .join(scrub, "doc_id")
+        sampled.withColumn("quality_bp", quality_bp_expr())
+        .where(_no_push(F.col("quality_bp") >= CLEAN_MIN_QUALITY_BP))
+        .where(_no_push(~is_repetitive))
+        .withColumn("scrubbed", _pii_scrubbed_col(_pii_seeded_col()))
     )
     toks = F.split("scrubbed", " ")
     with_starts = base.select(
@@ -2349,6 +2458,42 @@ def q_events_sessionized_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_two_phase(ev, gap_min=SESSION_GAP_MIN, chunk="1 day")
 
 
+def _repetition_kernel(it):
+    """Per-document Gopher repetition gates (see q_quality_repetition):
+    dup-word and top-bigram mass in integer basis points, thresholds
+    shared with the streaming clean gate via functions/quality.py."""
+    from collections import Counter
+
+    import pandas as pd
+
+    for pdf in it:
+        doc_ids, nws, dups, tops, reps = [], [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words = (text if text is not None else "").split(" ")
+            nw = len(words)
+            nd = len(set(words))
+            dup_bp = ((nw - nd) * 10000) // nw
+            if nw >= 2:
+                grams = Counter(zip(words, words[1:]))
+                top_bp = (max(grams.values()) * 10000) // (nw - 1)
+            else:
+                top_bp = 0
+            doc_ids.append(doc_id)
+            nws.append(nw)
+            dups.append(dup_bp)
+            tops.append(top_bp)
+            reps.append(dup_bp > DUP_WORD_MAX_BP or top_bp > TOP_BIGRAM_MAX_BP)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_words": pd.Series(nws, dtype="int64"),
+                "dup_word_frac_bp": pd.Series(dups, dtype="int64"),
+                "top_bigram_frac_bp": pd.Series(tops, dtype="int64"),
+                "is_repetitive": pd.Series(reps, dtype="bool"),
+            }
+        )
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gates (Rae et al. 2021, the
     standard pretraining corpus filters): per document,
@@ -2360,64 +2505,19 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     - is_repetitive: either fraction over the Gopher-ish thresholds.
 
     All ratios are INTEGER basis points (floor division) so both engines
-    agree bit-for-bit. Plan shape at 10^12 docs: two independent
-    two-level aggregations (per-(doc,token) partials, then per-doc
-    rollup — both shuffles move pre-combined rows, never raw tokens) and
-    one doc_id equi-join of two already-partitioned per-doc relations;
-    no window, no global sort."""
-    docs = _fan_out(_documents(spark, sf_dir))
-    toks = F.split("text", " ")
-
-    words = docs.select("doc_id", F.explode(toks).alias("w"))
-    per_word = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    word_stats = per_word.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"), F.count("*").alias("n_distinct")
-    )
-
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-                ),
-            ).otherwise(F.array())
-        ).alias("g"),
-    )
-    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    gram_stats = per_gram.groupBy("doc_id").agg(
-        F.max("c").alias("top_gram"), F.sum("c").alias("n_grams")
-    )
-
-    # exact integer floor: subtract the mod first (see _enriched_documents)
-    dup_bp = (
-        ((F.col("n_words") - F.col("n_distinct")) * 10000
-         - F.pmod((F.col("n_words") - F.col("n_distinct")) * 10000, F.col("n_words")))
-        / F.col("n_words")
-    ).cast("long")
-    top_bp = (
-        (F.col("top_gram") * 10000
-         - F.pmod(F.col("top_gram") * 10000, F.col("n_grams")))
-        / F.col("n_grams")
-    ).cast("long")
-    return (
-        word_stats.join(gram_stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            dup_bp.alias("dup_word_frac_bp"),
-            F.coalesce(top_bp, F.lit(0)).cast("long").alias("top_bigram_frac_bp"),
-        )
-        .withColumn(
-            "is_repetitive",
-            # shared Gopher thresholds (functions/quality.py): >0.63
-            # dup-word mass, >0.20 top-2gram mass — one definition with
-            # the streaming clean gate
-            (F.col("dup_word_frac_bp") > DUP_WORD_MAX_BP)
-            | (F.col("top_bigram_frac_bp") > TOP_BIGRAM_MAX_BP),
-        )
+    agree bit-for-bit. Both statistics are pure PER-DOCUMENT functions,
+    so the round-6 plan computes them in one zero-shuffle mapInPandas
+    kernel over the fanned-out scan (the round-5 relational form ran two
+    explode -> two-level-aggregation pipelines — 4 hash aggregations +
+    3 exchanges over the exploded token/bigram relations — for
+    quantities derivable row-locally; measured 2.8 s -> ~0.6 s at 10x,
+    hashes identical). Integer arithmetic is Python int floor division,
+    exactly the oracle's // semantics."""
+    docs = _fan_out(_documents(spark, sf_dir).select("doc_id", "text"))
+    return docs.mapInPandas(
+        _repetition_kernel,
+        "doc_id long, n_words long, dup_word_frac_bp long, "
+        "top_bigram_frac_bp long, is_repetitive boolean",
     )
 
 
