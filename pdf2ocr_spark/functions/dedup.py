@@ -115,33 +115,62 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     (groupBy(doc,j) -> groupBy(doc)); at 10^12 docs that was 16x shuffle
     amplification of the largest intermediate for no reason.
 
-    Split of work (measured at sf0.1/local[32]): shingle md5-hashing stays
-    JVM-side (codegen'd, one evaluation — as the single input of a UDF it
-    cannot be re-inlined by projection collapse, which otherwise duplicates
-    the hash tree into every permutation lambda: 60s vs 6s), and the
-    16-permutation min runs as ONE numpy broadcast + minimum.reduceat over
-    the whole Arrow batch (4.9s full LSH query vs 8.5s for the best pure-
-    Catalyst formulation, whose nested-HOF folds evaluate interpreted).
+    Split of work (round-6 rebuild, measured at 10x/local[32]): the JVM
+    ships only the cheap codegen token split; shingle construction AND
+    md5 hashing happen in the kernel, where pd.factorize dedupes the
+    batch's shingle strings first so md5 runs once per DISTINCT shingle
+    in the task (a Zipf corpus repeats shingles heavily — the round-5
+    form evaluated an interpreted Catalyst md5 tree per shingle
+    OCCURRENCE, ~2.6e6 evaluations at 10x vs ~3e4 here); the
+    16-permutation min then runs as ONE numpy broadcast +
+    minimum.reduceat over the whole Arrow batch. base_hash semantics are
+    unchanged: int(md5(utf8)[:4].hex(), 16) % p, verified hash-identical
+    against the round-5 plan at sf0.01/0.1/10x.
     """
-    h31s = F.transform(
-        word_shingles(F.col("text")),
-        lambda s: base_hash(s) % MINHASH_PRIME,
-    )
+    import hashlib
 
     @F.pandas_udf("array<long>")
-    def perm_min(hss: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(h) for h in hss), dtype=np.int64, count=len(hss))
-        if len(lens) == 0:
+    def perm_min(tokss: pd.Series) -> pd.Series:
+        if not len(tokss):
             return pd.Series([], dtype=object)
-        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hss])
-        # (N_PERM, total_shingles) permuted hashes; min per row via reduceat
-        # (word_shingles guarantees >= 1 shingle per row)
-        ph = (_PERM_A[:, None] * flat[None, :] + _PERM_B[:, None]) % MINHASH_PRIME
+        sh_lists = []
+        for toks in tokss:
+            toks = list(toks)
+            if len(toks) >= SHINGLE_WORDS:
+                seen = dict.fromkeys(
+                    " ".join(toks[i : i + SHINGLE_WORDS])
+                    for i in range(len(toks) - SHINGLE_WORDS + 1)
+                )
+                sh_lists.append(list(seen))
+            else:
+                sh_lists.append([" ".join(toks)])
+        lens = np.fromiter(
+            (len(s) for s in sh_lists), dtype=np.int64, count=len(sh_lists)
+        )
+        flat = np.concatenate(
+            [np.asarray(s, dtype=object) for s in sh_lists]
+        )
+        codes, uniq = pd.factorize(flat)
+        uh = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big")
+                % MINHASH_PRIME
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        flat_h = uh[codes]
+        # (N_PERM, total_shingles) permuted hashes; min per row via
+        # reduceat (>= 1 shingle per row by construction)
+        ph = (_PERM_A[:, None] * flat_h[None, :] + _PERM_B[:, None]) % MINHASH_PRIME
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
         return pd.Series(list(np.minimum.reduceat(ph, offsets, axis=1).T))
 
-    return docs.select("doc_id", perm_min(h31s).alias("sig"))
+    return docs.select(
+        "doc_id", perm_min(F.split(F.col("text"), " ")).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
@@ -471,43 +500,61 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     ``reduceat`` segment non-empty (a zero-length segment would make
     ``np.add.reduceat`` return the NEXT row's first element, not zero).
 
-    Work split (the same JVM/numpy split that won for minhash, see
-    minhash_signatures): the per-token md5s run JVM-side as codegen'd
-    column expressions producing TWO hash arrays per row — as the sole
-    inputs of a UDF they are evaluated exactly once (collapse-proof) and
-    no md5 ever runs in Python; the pandas_udf then does only the math,
-    batch-vectorized over the WHOLE Arrow batch: one ``unpackbits`` over
-    all tokens of all rows, one ``add.reduceat`` per-row bit-sum. Zero
-    shuffle, fused into the scan. (Round 1 exploded tokens x 63 bits and
-    shuffled the bits relation — 63x amplification, the scale killer;
-    the round-2 kernel hashed per-token in a Python loop.)
+    Work split (round-6 rebuild, same batch-dedup move as
+    minhash_signatures): the JVM ships only the codegen'd distinct-token
+    arrays; the kernel factorizes the batch's tokens so the two md5s run
+    once per DISTINCT token in the task (the round-5 form evaluated two
+    interpreted Catalyst md5 trees per token OCCURRENCE), unpacks bits
+    for the unique tokens only, gathers per-occurrence bit rows, and
+    does one ``add.reduceat`` per-row bit-sum. Zero shuffle, fused into
+    the scan; hash-identical to the round-5 plan at sf0.01/0.1/10x.
+    (Round 1 exploded tokens x 63 bits and shuffled the bits relation —
+    63x amplification, the scale killer.)
     """
+    import hashlib
+
     toks = F.array_distinct(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
-    h1s = F.transform(toks, lambda t: base_hash(t))
-    h2s = F.transform(toks, lambda t: base_hash(F.concat(t, F.lit("#2"))))
 
     @F.pandas_udf("long")
-    def simhash_np(h1ss: pd.Series, h2ss: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(h) for h in h1ss), dtype=np.int64, count=len(h1ss))
+    def simhash_np(tokss: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(t) for t in tokss), dtype=np.int64, count=len(tokss))
         if len(lens) == 0:
             return pd.Series([], dtype=np.int64)
-        flat1 = np.concatenate([np.asarray(h, dtype=np.int64) for h in h1ss]).astype(
-            np.uint32
-        )
-        flat2 = np.concatenate([np.asarray(h, dtype=np.int64) for h in h2ss]).astype(
-            np.uint32
-        )
-        # little-endian bit order per 32-bit hash: column b holds bit b
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in tokss])
+        codes, uniq = pd.factorize(flat)
+        uh1 = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big")
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        ).astype(np.uint32)
+        uh2 = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((u + "#2").encode()).digest()[:4], "big"
+                )
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        ).astype(np.uint32)
+        # little-endian bit order per 32-bit hash: column b holds bit b;
+        # bits computed for UNIQUE tokens, gathered per occurrence
         b1 = np.unpackbits(
-            flat1.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
+            uh1.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
         )[:, ::-1]
         b2 = np.unpackbits(
-            flat2.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
+            uh2.view(np.uint8).reshape(-1, 4)[:, ::-1], axis=1, bitorder="big"
         )[:, ::-1]
-        bits = np.concatenate([b1, b2[:, : SIMHASH_BITS - 32]], axis=1)
+        ubits = np.concatenate([b1, b2[:, : SIMHASH_BITS - 32]], axis=1).astype(
+            np.int64
+        )
+        bits = ubits[codes]
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+        ones = np.add.reduceat(bits, offsets, axis=0)
         s = 2 * ones - lens[:, None]  # sum of (+-1) per bit, per row
         powers = (np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)).astype(
             np.int64
@@ -517,7 +564,7 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     # fan out before hashing: a single-split input would serialize the
     # kernel (see _fan_out; no-op cost at production split counts)
     docs = _fan_out(with_near_dup_corpus(documents))
-    return docs.select("doc_id", simhash_np(h1s, h2s).alias("simhash"))
+    return docs.select("doc_id", simhash_np(toks).alias("simhash"))
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
