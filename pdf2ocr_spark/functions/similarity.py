@@ -495,29 +495,40 @@ def kmeans_train(
     centroid. Returns (centroids, history): centroids is the
     ``n_cells x dim`` float list for ivf_assign_udf, history the
     per-iteration (objective_bp, n_nonempty) list."""
-    # The norm comes from the vectorized sequential-fold kernel (bit-
-    # identical to the Catalyst `_norm` fold): as a plain UDF-output
-    # attribute it is evaluated ONCE per row, where the round-5 Catalyst
-    # `_norm` column got re-inlined by CollapseProject into every element
-    # of the quantization lambda (64 elements x 64-term interpreted fold
-    # per row — measured 6.2 s of the 7.5 s construction at sf1.0). The
-    # round() quantization itself stays in the JVM so its exact
-    # BigDecimal HALF_UP semantics are untouched.
-    @F.pandas_udf("double")
-    def nrm_np(embs: pd.Series) -> pd.Series:
+    # Norm AND quantization in one kernel (round 6; the round-5 form
+    # kept round() in an interpreted JVM transform — 1.3e6 per-element
+    # evaluations at 10x). The norm is the sequential-fold kernel
+    # (bit-identical to the Catalyst `_norm` fold); the HALF_UP round is
+    # the exact binary comparison floor(x) + (x - floor(x) >= 0.5),
+    # which equals Spark's BigDecimal(valueOf).setScale(0, HALF_UP) for
+    # every |x| < 2^51: n+0.5 is exactly representable, the shortest-
+    # decimal repr BigDecimal.valueOf rounds on is value-faithful, so it
+    # can never sit on the other side of an n+0.5 boundary than the
+    # double itself, and x - floor(x) is exact by Sterbenz. Verified
+    # hash-identical (trained centroids feed the bit-exact unrolled
+    # DuckDB Lloyd oracle, the most sensitive sink in the suite).
+    @F.pandas_udf("array<long>")
+    def quant_np(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:
-            return pd.Series([], dtype=np.float64)
-        return pd.Series(_seq_norms(_stack(embs)))
+            return pd.Series([], dtype=object)
+        M = _stack(embs)
+        nrm = _seq_norms(M)
+        X = (M / nrm[:, None]) * KMEANS_SCALE
+        fl = np.floor(X)
+        q = (fl + (X - fl >= 0.5)).astype(np.int64)
+        return pd.Series(list(q))
 
+    # fan out BEFORE the checkpoint: the single-row-group scan would pin
+    # every Lloyd round's assign+aggregate job to one task (measured
+    # 0.85 s/round -> ~0.2 s/round at 10x); the per-cell reductions are
+    # integer sums, so the result is partition-independent by design
     base = (
-        embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .withColumn("nrm", nrm_np(F.col("e")))
-        .select(
-            "vec_id",
-            F.transform(
-                "e", lambda x: F.round(x / F.col("nrm") * KMEANS_SCALE).cast("long")
-            ).alias("eq"),
+        _fan_out_vecs(
+            embeddings.select(
+                "vec_id", _as_double(F.col("embedding")).alias("e")
+            )
         )
+        .select("vec_id", quant_np(F.col("e")).alias("eq"))
         .localCheckpoint()  # iterated over; don't replay the scan per round
     )
 
@@ -539,39 +550,62 @@ def kmeans_train(
     ]
     n_cells = len(cents)  # clamp: fewer vectors than requested cells
 
+    # per-round partial aggregation INSIDE the kernel (round 6): each
+    # task emits at most K rows of (cell, n, obj_bp, s0..s{dim-1}) and
+    # the JVM aggregate reduces K*partitions tiny rows — the round-5
+    # shape shipped every vector's (cell, bp) back through Arrow and ran
+    # a 66-buffer hash aggregate over the full relation per round
+    # (0.7 s/round -> ~0.2 s/round at 10x). The float dot products keep
+    # the identical per-dimension accumulation order (a matmul's
+    # pairwise summation could flip an argmax tie), and the per-cell
+    # sums stay integer — order-free, so partial pre-aggregation cannot
+    # change the result.
+    out_schema = "cell long, n long, obj_bp long, " + ", ".join(
+        f"s{i} long" for i in range(dim)
+    )
     history = []
     for _ in range(iters):
         C = np.asarray(cents, dtype=np.float64)
 
-        @F.pandas_udf("cell long, bp long")
-        def assign(embs: pd.Series) -> pd.DataFrame:
-            if len(embs) == 0:
-                return pd.DataFrame({"cell": [], "bp": []})
-            E = np.stack(
-                [np.asarray(v, dtype=np.float64) / KMEANS_SCALE for v in embs]
-            )
-            acc = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
-            for d in range(C.shape[1]):
-                acc += E[:, d : d + 1] * C[None, :, d]
-            cell = np.argmax(acc, axis=1)
-            best = acc[np.arange(len(E)), cell]
-            return pd.DataFrame(
-                {
-                    "cell": cell.astype(np.int64),
-                    "bp": np.floor(best * 10000 + 0.5).astype(np.int64),
+        def lloyd_partials(it, C=C, dim=dim):
+            K = C.shape[0]
+            n_by = np.zeros(K, dtype=np.int64)
+            obj_by = np.zeros(K, dtype=np.int64)
+            s_by = np.zeros((K, dim), dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                E = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["eq"]]
+                )
+                Ef = E.astype(np.float64) / KMEANS_SCALE
+                acc = np.zeros((Ef.shape[0], K), dtype=np.float64)
+                for d in range(C.shape[1]):
+                    acc += Ef[:, d : d + 1] * C[None, :, d]
+                cell = np.argmax(acc, axis=1)
+                best = acc[np.arange(len(Ef)), cell]
+                bp = np.floor(best * 10000 + 0.5).astype(np.int64)
+                n_by += np.bincount(cell, minlength=K)
+                np.add.at(obj_by, cell, bp)
+                np.add.at(s_by, cell, E)
+            nz = np.nonzero(n_by)[0]
+            if len(nz):
+                out = {
+                    "cell": nz.astype(np.int64),
+                    "n": n_by[nz],
+                    "obj_bp": obj_by[nz],
                 }
-            )
+                for i in range(dim):
+                    out[f"s{i}"] = s_by[nz, i]
+                yield pd.DataFrame(out)
 
         stats = (
-            base.withColumn("a", assign(F.col("eq")))
-            .groupBy(F.col("a.cell").alias("cell"))
+            base.mapInPandas(lloyd_partials, out_schema)
+            .groupBy("cell")
             .agg(
-                F.count("*").alias("n"),
-                F.sum("a.bp").alias("obj_bp"),
-                *[
-                    F.sum(F.col("eq")[i]).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+                F.sum("n").alias("n"),
+                F.sum("obj_bp").alias("obj_bp"),
+                *[F.sum(F.col(f"s{i}")).alias(f"s{i}") for i in range(dim)],
             )
             .collect()
         )
