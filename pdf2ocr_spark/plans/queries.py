@@ -233,7 +233,7 @@ FROM documents
 def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation + max_sentences chunking counts
     (ref common.py:153-171; split regex [.!?…]\\s+ without lookbehind)."""
-    docs = _documents(spark, sf_dir)
+    docs = _fan_out(_documents(spark, sf_dir))
     punctuated = F.regexp_replace("text", "\\sthe\\s", ". The ")
     n_sent = (
         F.size(F.regexp_extract_all(punctuated, F.lit("[.!?…]\\s+"), 0)) + 1
@@ -258,7 +258,7 @@ FROM documents
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, BPE-ish regex
     tokens (training-data op; SURVEY §2.2 whitespace collapse analogue)."""
-    docs = _documents(spark, sf_dir)
+    docs = _fan_out(_documents(spark, sf_dir))
     toks = F.split("text", " ")
     return docs.select(
         "doc_id",
@@ -322,13 +322,60 @@ GROUP BY source, lang
 """
 
 
+def _doc_lines(text, source):
+    """The shared line spec as a per-document Python generator: body
+    lines (page_id, line_no 0..9, 2-word text) followed by each page's
+    header (-1, 'Journal of <source>') and footer (99, str(page+1)) —
+    exactly the relation _all_lines derives (used by the per-doc line
+    kernels below; counts are order-insensitive)."""
+    words = (text if text is not None else "").split(" ")
+    n_lines = (len(words) + 1) // 2
+    n_pages = (len(words) + 19) // 20
+    for i in range(n_lines):
+        yield i % 10, " ".join(words[2 * i : 2 * i + 2])
+    header = "Journal of " + source
+    for p in range(n_pages):
+        yield -1, header
+        yield 99, str(p + 1)
+
+
+def _page_number_kernel(it):
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r"^\s*\d{1,4}\s*$")
+    for pdf in it:
+        doc_ids, n_lines, n_pn = [], [], []
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            n = 0
+            hits = 0
+            for _ln, lt in _doc_lines(text, source):
+                n += 1
+                if pat.match(lt):
+                    hits += 1
+            doc_ids.append(doc_id)
+            n_lines.append(n)
+            n_pn.append(hits)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_lines": pd.Series(n_lines, dtype="int64"),
+                "n_pagenum_lines": pd.Series(n_pn, dtype="int64"),
+            }
+        )
+
+
 def q_page_number_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standalone page-number line filter (ref common.py:8,73)."""
-    lines = _all_lines(_documents(spark, sf_dir))
-    is_pagenum = F.col("line_text").rlike("^\\s*\\d{1,4}\\s*$")
-    return lines.groupBy("doc_id").agg(
-        F.count("*").alias("n_lines"),
-        F.sum(is_pagenum.cast("long")).alias("n_pagenum_lines"),
+    """Standalone page-number line filter (ref common.py:8,73). Pure
+    per-document counts — one zero-shuffle kernel over the fanned-out
+    scan (round 6; was explode + regex + groupBy over the 1.5e6-row line
+    relation)."""
+    docs = _fan_out(_documents(spark, sf_dir).select("doc_id", "source", "text"))
+    return docs.mapInPandas(
+        _page_number_kernel, "doc_id long, n_lines long, n_pagenum_lines long"
     )
 
 
@@ -345,24 +392,72 @@ GROUP BY doc_id
 )
 
 
+def _line_predicates_kernel(it):
+    import re
+
+    import pandas as pd
+
+    p_header = re.compile(r"^pdf2ocr\s*-\s*Page\s*\d+$")
+    p_bullet = re.compile(r"^[•\-–—▪]")
+    p_enum = re.compile(r"^[0-9][.)].")
+    for pdf in it:
+        doc_ids, n_sh, n_li, n_lines = [], [], [], []
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            words = (text if text is not None else "").split(" ")
+            nl = (len(words) + 1) // 2
+            n_pages = (len(words) + 19) // 20
+            sh = 0
+            li = 0
+            for i in range(nl):
+                ln = i % 10
+                if ln == 1:
+                    page_id = (2 * i) // 20
+                    d = "pdf2ocr - Page " + str(page_id + 1)
+                elif ln == 2:
+                    d = "• " + " ".join(words[2 * i : 2 * i + 2])
+                else:
+                    d = " ".join(words[2 * i : 2 * i + 2])
+                if p_header.match(d):
+                    sh += 1
+                if p_bullet.match(d) or p_enum.match(d):
+                    li += 1
+            # headers/footers: 'Journal of …' matches neither predicate;
+            # footers are bare digits (no '.'/')' follower) — still run
+            # the predicates so the kernel states the same spec
+            header = "Journal of " + source
+            for p in range(n_pages):
+                for d in (header, str(p + 1)):
+                    if p_header.match(d):
+                        sh += 1
+                    if p_bullet.match(d) or p_enum.match(d):
+                        li += 1
+            doc_ids.append(doc_id)
+            n_sh.append(sh)
+            n_li.append(li)
+            n_lines.append(nl + 2 * n_pages)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_self_header_lines": pd.Series(n_sh, dtype="int64"),
+                "n_list_item_lines": pd.Series(n_li, dtype="int64"),
+                "n_lines": pd.Series(n_lines, dtype="int64"),
+            }
+        )
+
+
 def q_line_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-header + list-item predicates over lines (ref common.py:9,73
     and common.py:80-84): the channel turns line 1 of each page into a
     'pdf2ocr - Page N' self-header and line 2 into a bullet item, then the
-    predicates count them back."""
-    lines = _all_lines(_documents(spark, sf_dir))
-    decorated = F.when(
-        F.col("line_no") == 1,
-        F.concat(F.lit("pdf2ocr - Page "), (F.col("page_id") + 1).cast("string")),
-    ).when(
-        F.col("line_no") == 2, F.concat(F.lit("• "), F.col("line_text"))
-    ).otherwise(F.col("line_text"))
-    is_self_header = decorated.rlike("^pdf2ocr\\s*-\\s*Page\\s*\\d+$")
-    is_list_item = decorated.rlike("^[•\\-–—▪]") | decorated.rlike("^[0-9][.)].")
-    return lines.groupBy("doc_id").agg(
-        F.sum(is_self_header.cast("long")).alias("n_self_header_lines"),
-        F.sum(is_list_item.cast("long")).alias("n_list_item_lines"),
-        F.count("*").alias("n_lines"),
+    predicates count them back. Per-document counts — one zero-shuffle
+    kernel over the fanned-out scan (round 6)."""
+    docs = _fan_out(_documents(spark, sf_dir).select("doc_id", "source", "text"))
+    return docs.mapInPandas(
+        _line_predicates_kernel,
+        "doc_id long, n_self_header_lines long, n_list_item_lines long, "
+        "n_lines long",
     )
 
 
@@ -389,19 +484,44 @@ GROUP BY doc_id
 )
 
 
+def _heading_kernel(it):
+    import re
+
+    import pandas as pd
+
+    p_digits = re.compile(r"^[0-9 ]*$")
+    for pdf in it:
+        doc_ids, n_h, n_lines = [], [], []
+        for doc_id, source, text in zip(
+            pdf["doc_id"], pdf["source"], pdf["text"]
+        ):
+            n = 0
+            hits = 0
+            for ln, lt in _doc_lines(text, source):
+                n += 1
+                lu = lt.upper() if ln == 0 else lt
+                if lu == lu.upper() and len(lu) > 3 and not p_digits.match(lu):
+                    hits += 1
+            doc_ids.append(doc_id)
+            n_h.append(hits)
+            n_lines.append(n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_heading_lines": pd.Series(n_h, dtype="int64"),
+                "n_lines": pd.Series(n_lines, dtype="int64"),
+            }
+        )
+
+
 def q_heading_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heading predicate over lines (ref common.py:10-13,76-78): lines with
-    line_no 0 are upper-cased by the channel, then detected ALL-CAPS."""
-    lines = _all_lines(_documents(spark, sf_dir))
-    line_up = F.when(
-        F.col("line_no") == 0, F.upper("line_text")
-    ).otherwise(F.col("line_text"))
-    is_heading = (line_up == F.upper(line_up)) & (F.length(line_up) > 3) & (
-        ~line_up.rlike("^[0-9 ]*$")
-    )
-    return lines.groupBy("doc_id").agg(
-        F.sum(is_heading.cast("long")).alias("n_heading_lines"),
-        F.count("*").alias("n_lines"),
+    line_no 0 are upper-cased by the channel, then detected ALL-CAPS.
+    Per-document counts — one zero-shuffle kernel over the fanned-out
+    scan (round 6)."""
+    docs = _fan_out(_documents(spark, sf_dir).select("doc_id", "source", "text"))
+    return docs.mapInPandas(
+        _heading_kernel, "doc_id long, n_heading_lines long, n_lines long"
     )
 
 
