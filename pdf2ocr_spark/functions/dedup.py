@@ -673,7 +673,17 @@ def _restore_checkpoint_dir(sc, prev: str | None) -> None:
             sc._jvm.scala.Option.apply(prev)
         )
     except Exception:
-        sc.setCheckpointDir(prev)
+        # public-setter fallback (nests one UUID deeper but stays under
+        # the caller's parent dir); guarded so a failure here — this runs
+        # inside a finally block — can never mask the original error
+        try:
+            sc.setCheckpointDir(prev)
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "could not restore checkpoint dir to %r", prev
+            )
 
 
 def _cc_iterate(

@@ -2372,7 +2372,13 @@ def q_events_range_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition (functions/temporal.range_count_join_hierarchical —
     interior sub-bands contribute pre-aggregated counts, only the two
     boundary sub-bands join at row level). Same DuckDB oracle as the
-    banded operator: the two plans must be row-identical."""
+    banded operator: the two plans must be row-identical (the result is
+    split-invariant). split=4 here: per-row fan-out is split+2 probes
+    and the optimum is ~sqrt(band occupancy), which is ~1 for this
+    corpus (round-6 right-sizing; split=20 was 21 probes per error row —
+    2.4 s -> ~1.0 s at 10x with identical output). The burst harness
+    (BENCH/temporal_skew.py) drives the operator with its own split
+    sized to its constructed hot band."""
     from pdf2ocr_spark.functions.temporal import range_count_join_hierarchical
 
     ev = _table(spark, sf_dir, "events")
@@ -2381,7 +2387,7 @@ def q_events_range_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
     out = range_count_join_hierarchical(
-        errors, clicks, on="user_id", ts="ts", width="5 minutes", split=20
+        errors, clicks, on="user_id", ts="ts", width="5 minutes", split=4
     )
     return out.select(
         "error_id",

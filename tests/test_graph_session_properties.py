@@ -216,4 +216,5 @@ def test_two_phase_sessionize_property_random_streams(spark, tmp_path):
         pd.testing.assert_frame_equal(
             got.astype("int64", errors="ignore"),
             want.astype("int64", errors="ignore"),
-        ), chunk
+            obj=f"chunk={chunk}",
+        )

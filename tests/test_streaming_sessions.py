@@ -204,3 +204,43 @@ def test_event_time_timeout_flushes_quiet_user(spark, dirs):
         columns=got.columns,
     )
     pd.testing.assert_frame_equal(got.astype("int64"), expected.astype("int64"))
+
+
+def test_per_event_bp_quantization_matches_batch(spark, dirs):
+    """Round-6 advice fix: state carries per-event-quantized integer bp.
+    Values of 0.00006 make the two formulations provably differ — each
+    event is floor(0.6 + 0.5) = 1 bp, so 50 events are 50 bp per-event
+    but floor(50*0.6 + 0.5) = 30 bp under the round-5 sum-then-round
+    accumulator — and the batch query (per-event by construction) is the
+    contract the stream must match."""
+    import datetime as dt
+
+    from pdf2ocr_spark.plans.queries import q_events_sessionized
+
+    t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (i, t + i * m, 1, "view", 0.00006, "") for i in range(50)
+    ] + [
+        # 2h later: closes the 50-event session, stays open itself
+        (99, t + 180 * m, 1, "view", 0.00006, ""),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = os.path.join(os.path.dirname(dirs["input"]), "sf")
+    sdf.coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    sdf.write.mode("append").parquet(dirs["input"])
+
+    run_sessions_stream(spark, dirs["input"], dirs["output"], dirs["ckpt"])
+    got = _canon(spark.read.parquet(dirs["output"]).toPandas())
+    assert len(got) == 1
+    assert int(got.loc[0, "value_bp"]) == 50  # per-event, NOT 30
+
+    batch = _batch_sessions(spark, sf_dir)
+    closed = batch[batch["session_no"] < batch["session_no"].max()]
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), _canon(closed).astype("int64")
+    )
