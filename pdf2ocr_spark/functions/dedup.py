@@ -253,52 +253,82 @@ _JACCARD_BLOCK_SCHEMA = (
 
 
 def _jaccard_block_kernel(threshold: float):
-    """Per-(block_i, block_j) exact intersection counts, numpy-vectorized.
+    """Per-(block_i, block_j) exact intersection counts, Arrow-native and
+    numpy-vectorized (``applyInArrow``).
 
     Receives both blocks' per-doc rare-shingle STRING arrays (strings, not
-    hashes — exactness is unconditional), builds a task-local dense code
-    dictionary with np.unique, enumerates every co-occurrence of the two
-    blocks with sort/repeat arithmetic (no Python loop over shingles),
-    counts pairs via one np.unique over packed 64-bit (row_a, row_b) keys,
-    and emits ONLY pairs whose jaccard can still reach the threshold
-    (pre-filter at threshold - 1e-4 — a margin 12 orders of magnitude
-    above float64 error, so no qualifying pair is ever dropped; the final
+    hashes — exactness is unconditional). The strings never become Python
+    objects: they stay in the record batch's contiguous Arrow buffers and
+    the task-local dense code dictionary comes from ONE
+    ``pyarrow.compute.dictionary_encode`` over the concatenated flat
+    string children (C hash table; the earlier ``applyInPandas`` +
+    ``pd.factorize`` form materialized every shipped shingle as a Python
+    str first — measured ~2/3 of the whole query's wall at 10x). The
+    co-occurrence enumeration walks the dense codes with sort/repeat
+    arithmetic (no Python loop over shingles), counts pairs via one
+    np.unique over packed 64-bit (row_a, row_b) keys, and emits ONLY
+    pairs whose jaccard can still reach the threshold (pre-filter at
+    threshold - 1e-4 — a margin 12 orders of magnitude above float64
+    error, so no qualifying pair is ever dropped; the final
     round()+filter runs in Catalyst with the exact original expression).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "n_inter": pd.Series([], dtype="int64"),
-                "sh_a": pd.Series([], dtype="int64"),
-                "sh_b": pd.Series([], dtype="int64"),
-            }
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("n_inter", pa.int64()),
+            ("sh_a", pa.int64()),
+            ("sh_b", pa.int64()),
+        ]
+    )
+    empty = out_schema.empty_table()
+
+    def _flat(tbl: pa.Table) -> tuple:
+        """(flat child array, per-posting row index) for one side's rows —
+        all buffer-level, no Python objects."""
+        rset = tbl.column("rset").combine_chunks()
+        lens = pc.list_value_length(rset).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(rset), dtype=np.int64), lens)
+        return rset.flatten(), row_idx
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        diag = bool(
+            tbl.column("i")[0].as_py() == tbl.column("j")[0].as_py()
         )
-        diag = bool(pdf["i"].iat[0] == pdf["j"].iat[0])
-        left = pdf[pdf["side"] == 0]
-        right = pdf[pdf["side"] == 1] if not diag else left
-        if not len(left) or not len(right):
+        left = tbl.filter(pa.array(side == 0))
+        right = tbl.filter(pa.array(side == 1)) if not diag else left
+        if not left.num_rows or not right.num_rows:
             return empty
 
-        def flat(rows: pd.Series) -> tuple:
-            lens = np.fromiter(
-                (len(r) for r in rows), dtype=np.int64, count=len(rows)
+        ls, lrow = _flat(left)
+        rs, rrow = _flat(right) if not diag else (ls, lrow)
+        # task-local dense shingle codes over BOTH sides. Fast path:
+        # int64-coded shingles (the operator ships xxhash64 codes whose
+        # corpus-wide injectivity is ASSERTED in-plan — see
+        # ngram_jaccard_pairs) densify with one C sort; the string path
+        # (exact equality via Arrow's dictionary hash table) remains for
+        # direct kernel use on raw shingle arrays.
+        if pa.types.is_integer(ls.type):
+            both = np.concatenate(
+                [
+                    ls.to_numpy(zero_copy_only=False),
+                    rs.to_numpy(zero_copy_only=False),
+                ]
             )
-            strs = np.concatenate([np.asarray(r, dtype=object) for r in rows])
-            row_idx = np.repeat(np.arange(len(rows), dtype=np.int64), lens)
-            return strs, row_idx
-
-        ls, lrow = flat(left["rset"])
-        rs, rrow = flat(right["rset"]) if not diag else (ls, lrow)
-        # task-local dense shingle codes over BOTH sides: exact string
-        # equality via pandas' C hash table (np.unique on object strings
-        # would sort with per-element Python compares)
-        inv, codes = pd.factorize(np.concatenate([ls, rs]))
-        inv = inv.astype(np.int64)
+            _, inv = np.unique(both, return_inverse=True)
+            inv = inv.astype(np.int64, copy=False)
+        else:
+            inv = (
+                pc.dictionary_encode(pa.concat_arrays([ls, rs]))
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
         lcode, rcode = inv[: len(ls)], inv[len(ls):]
-        n_codes = len(codes)
+        n_codes = int(inv.max()) + 1 if len(inv) else 0
 
         # sort each side's (code, row) postings by code
         lo = np.argsort(lcode, kind="stable")
@@ -330,16 +360,32 @@ def _jaccard_block_kernel(threshold: float):
             if not len(a_rows):
                 return empty
 
-        # count pairs: one sort over packed 64-bit local row keys
-        keys = a_rows << np.int64(32) | b_rows
-        upair, n_inter = np.unique(keys, return_counts=True)
-        ar = (upair >> np.int64(32)).astype(np.int64)
-        br = (upair & np.int64(0xFFFFFFFF)).astype(np.int64)
+        # count pairs. Fast path: when the dense (row_a x row_b) count
+        # matrix fits comfortably (block pairs at bench scale), bincount
+        # into it — O(co-occurrences + cells) with no sort; measured ~4x
+        # cheaper than sorting the packed keys, which dominated the
+        # kernel (125M distinct pairs at 10x). Fallback (and the path
+        # production-sized blocks at 10^12 docs would take): one sort
+        # over packed 64-bit local row keys.
+        n_l = left.num_rows
+        n_r = right.num_rows
+        if n_l * n_r <= 64_000_000:
+            keys = a_rows * np.int64(n_r) + b_rows
+            cnt = np.bincount(keys, minlength=n_l * n_r)
+            upair = np.flatnonzero(cnt)
+            n_inter = cnt[upair]
+            ar = upair // n_r
+            br = upair - ar * n_r
+        else:
+            keys = a_rows << np.int64(32) | b_rows
+            upair, n_inter = np.unique(keys, return_counts=True)
+            ar = (upair >> np.int64(32)).astype(np.int64)
+            br = (upair & np.int64(0xFFFFFFFF)).astype(np.int64)
 
-        la_ids = left["doc_id"].to_numpy()
-        ra_ids = right["doc_id"].to_numpy()
-        la_nsh = left["n_sh"].to_numpy()
-        ra_nsh = right["n_sh"].to_numpy()
+        la_ids = left.column("doc_id").to_numpy(zero_copy_only=False)
+        ra_ids = right.column("doc_id").to_numpy(zero_copy_only=False)
+        la_nsh = left.column("n_sh").to_numpy(zero_copy_only=False)
+        ra_nsh = right.column("n_sh").to_numpy(zero_copy_only=False)
         doc_a = la_ids[ar]
         doc_b = ra_ids[br]
         sh_a = la_nsh[ar]
@@ -351,17 +397,48 @@ def _jaccard_block_kernel(threshold: float):
         sh_a, sh_b = np.where(swap, sh_b, sh_a), np.where(swap, sh_a, sh_b)
         # lossless pre-filter: margin far above float64 rounding error
         keep = n_inter / (sh_a + sh_b - n_inter) >= threshold - 1e-4
-        return pd.DataFrame(
-            {
-                "doc_a": doc_a[keep],
-                "doc_b": doc_b[keep],
-                "n_inter": n_inter[keep].astype(np.int64),
-                "sh_a": sh_a[keep],
-                "sh_b": sh_b[keep],
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_a[keep], pa.int64()),
+                pa.array(doc_b[keep], pa.int64()),
+                pa.array(n_inter[keep].astype(np.int64), pa.int64()),
+                pa.array(sh_a[keep].astype(np.int64), pa.int64()),
+                pa.array(sh_b[keep].astype(np.int64), pa.int64()),
+            ],
+            schema=out_schema,
         )
 
     return kernel
+
+
+def _jaccard_partition_kernel(threshold: float):
+    """``mapInArrow`` wrapper: one task may hold SEVERAL (i, j) block
+    pairs — the plan hash-partitions the replicated relation on an
+    explicit pair id into ~4x more partitions than pairs, which bounds
+    the kernel stage's wall at one block-pair per core wave. (The
+    earlier ``groupBy(i, j).applyInArrow`` hashed ~36 pair keys into the
+    session's 32 shuffle partitions: balls-in-bins placement put 3-4
+    pairs on one task while a third of the cores sat empty — a
+    deterministic straggler the pair-id spread removes. Empty partitions
+    cost microseconds.) Each pair's rows are grouped here and handed to
+    the exact per-pair kernel unchanged."""
+    import pyarrow as pa
+
+    one_pair = _jaccard_block_kernel(threshold)
+
+    def run(batches):
+        got = list(batches)
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        if not tbl.num_rows:
+            return
+        pids = tbl.column("pid").to_numpy(zero_copy_only=False)
+        for pid in np.unique(pids):
+            out = one_pair(tbl.filter(pa.array(pids == pid)))
+            yield from out.to_batches()
+
+    return run
 
 
 def ngram_jaccard_pairs(
@@ -396,7 +473,23 @@ def ngram_jaccard_pairs(
     vectorized numpy over local arrays instead of shuffled+aggregated
     rows (measured ~20x cheaper per co-occurrence), and the B-way
     replication is the standard blocked all-pairs trade: bytes moved =
-    (B+1) * index size, tunable against cluster width at 10^12 docs."""
+    (B+1) * index size, tunable against cluster width at 10^12 docs.
+
+    NO SHINGLE STRING EVER CROSSES AN EXCHANGE (round-6): the kernel
+    receives dense int64 codes — ``xxhash64(shingle)``, a codegen
+    projection — so the (B+1)-way replication shuffles 8-byte longs
+    instead of ~30-byte string objects (the string form's exchange +
+    Arrow round-trip dominated the query: ~2/3 of wall at 10x).
+    Exactness stays UNCONDITIONAL, not probabilistic: the same
+    aggregation that detects hot shingles also carries a per-hash
+    ``min(shingle) != max(shingle)`` collision witness (map-side
+    combined, so only per-partition-distinct hashes ship their two
+    witness strings), and the plan ASSERTS the corpus-wide collision
+    count is zero before any hash-coded result is produced — on the
+    astronomically-unlikely colliding corpus the query fails loudly
+    instead of returning an approximation. Under the asserted
+    injectivity, per-hash df equals per-shingle df (the hot cap is
+    unchanged) and code-intersections equal shingle-intersections."""
     import math
 
     docs = _fan_out(with_near_dup_corpus(documents))
@@ -405,17 +498,6 @@ def ngram_jaccard_pairs(
             docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
         blocks = max(2, int(math.ceil(math.sqrt(2 * n_part))))
-    arr = (
-        docs.select("doc_id", word_shingles(F.col("text")).alias("arr"))
-        .withColumn("n_sh", F.size("arr"))
-        .repartition("doc_id")
-    )
-    # hot-shingle cap: the HOT set (df > MAX_SHINGLE_DF) is tiny and
-    # bounded (at most total_occurrences/MAX_DF shingles), so it rides a
-    # single-row broadcast aggregate and the rare filter is a per-row
-    # array_except — no explode + collect_list regroup of the index (the
-    # round-5 shape; an explode->anti-join->collect_list rebuild of the
-    # arrays measured 14.5 s of the 24 s total at 10x)
     # explode_OUTER, deliberately: with a plain explode the optimizer's
     # InferFiltersFromGenerate rule synthesizes `size(arr)>0 AND
     # isnotnull(arr)`, filter-pushdown re-inlines the whole word_shingles
@@ -425,23 +507,65 @@ def ngram_jaccard_pairs(
     # skips outer generates; word_shingles never returns an empty/null
     # array (short texts fall back to [text]), so the outer variant emits
     # the identical rows.
-    hot = (
-        arr.select(F.explode_outer("arr").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > MAX_SHINGLE_DF)
-        .agg(F.collect_list("shingle").alias("hot_arr"))
-    )
-    docsets = (
-        arr.crossJoin(F.broadcast(hot))
+    ex = (
+        docs.select("doc_id", word_shingles(F.col("text")).alias("arr"))
+        .withColumn("n_sh", F.size("arr"))
         .select(
-            "doc_id",
-            "n_sh",
-            F.array_except("arr", F.coalesce("hot_arr", F.array())).alias(
-                "rset"
-            ),
+            "doc_id", "n_sh", F.explode_outer("arr").alias("shingle")
         )
-        .where(F.size("rset") > 0)
+        .withColumn("h", F.xxhash64("shingle"))
+    )
+    # ONE aggregation yields the hot-hash set (df > MAX_SHINGLE_DF; tiny
+    # and bounded at most total_occurrences/MAX_DF) AND the collision
+    # witness; both ride a single-row broadcast. The witness wraps the
+    # hot array via assert_true so column pruning can never drop the
+    # exactness check while the hot set is in use. ``ex`` is evaluated
+    # once per consumer (here and in ``kept`` below) — deliberately: the
+    # shingle projection is cheap map-side compute, while sharing it via
+    # an exchange would ship every occurrence STRING once (the round-5
+    # repartition("doc_id") reuse seam, removed for exactly that reason).
+    # Two-level aggregation, all HashAggregate: a direct
+    # min(shingle)/max(shingle) witness planned as SortAggregate (string
+    # agg BUFFERS are var-length, which HashAggregateExec cannot hold) —
+    # a full sort of every shingle occurrence. Grouping by (h, shingle)
+    # first keeps the strings as GROUP KEYS (var-length keys are fine),
+    # map-side combines to the per-partition-distinct shingle set, and
+    # the per-hash distinct-string count is then a plain fixed-width
+    # count. The (h, shingle) exchange is the single place a shingle
+    # string crosses the wire, dedup-compressed to the distinct
+    # vocabulary.
+    hs = ex.groupBy("h", "shingle").agg(F.count("*").alias("_c"))
+    per_h = hs.groupBy("h").agg(
+        F.sum("_c").alias("df"),
+        F.count("*").alias("_n_str"),
+    )
+    gate = per_h.agg(
+        F.sum(
+            F.when(F.col("_n_str") > 1, 1).otherwise(0)
+        ).alias("_nc"),
+        F.collect_list(
+            F.when(F.col("df") > MAX_SHINGLE_DF, F.col("h"))
+        ).alias("_hot"),
+    ).select(
+        F.when(
+            F.assert_true(
+                F.col("_nc") == F.lit(0),
+                F.lit(
+                    "xxhash64 shingle collision detected — the int64-coded "
+                    "jaccard kernel would be inexact on this corpus"
+                ),
+            ).isNull(),
+            F.col("_hot"),
+        ).alias("hot_arr")
+    )
+    kept = (
+        ex.crossJoin(F.broadcast(gate))
+        .where(~F.array_contains("hot_arr", F.col("h")))
+        .select("doc_id", "n_sh", "h")
+    )
+    docsets = kept.groupBy("doc_id").agg(
+        F.max("n_sh").alias("n_sh"),
+        F.collect_list("h").alias("rset"),
     )
 
     b = F.pmod(F.col("doc_id"), F.lit(blocks)).cast("int")
@@ -468,10 +592,12 @@ def ngram_jaccard_pairs(
         F.col("blk").alias("j"),
         F.lit(1).alias("side"),
     )
+    n_pairs = blocks * (blocks + 1) // 2
     counts = (
         left.unionByName(right)
-        .groupBy("i", "j")
-        .applyInPandas(_jaccard_block_kernel(threshold), _JACCARD_BLOCK_SCHEMA)
+        .withColumn("pid", F.col("i") * blocks + F.col("j"))
+        .repartition(4 * n_pairs, "pid")
+        .mapInArrow(_jaccard_partition_kernel(threshold), _JACCARD_BLOCK_SCHEMA)
     )
     return (
         counts.select(

@@ -36,7 +36,7 @@ happens ACROSS documents in the Arrow batch stage that calls this.
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 from pdf2ocr_spark.kernel.textproc import (
     _looks_like_heading,
@@ -154,15 +154,15 @@ def extract_from_pages(
     # whole-document header/footer strip (needs all pages: common.py:116-150)
     pages = strip_boilerplate_lines(pages)
 
+    # Per-kind offsets are plain integer locals and rows append directly:
+    # the closure-based emit() helper this replaces was ~12% of the whole
+    # kernel (73.8k calls / 2k docs) on the flagship path. Emission order
+    # (and therefore the row list) is unchanged.
     rows: List[SpanRow] = []
-    counters: Dict[str, int] = {}
-
-    def emit(kind: str, text: Optional[str], media_ref: Optional[str] = None) -> None:
-        idx = counters.get(kind, 0)
-        counters[kind] = idx + 1
-        rows.append((doc_id, kind, text, media_ref, idx))
-
+    append = rows.append
     want = set(formats)
+    want_text = "text" in want
+    want_html = "html" in want
 
     # ONE FSM pass per page, shared by the per-page formats (text/html)
     # and the whole-document formats (docx/markdown): the whole-doc result
@@ -178,8 +178,10 @@ def extract_from_pages(
 
     # --- per-page formats (text + html share the 1-based non-empty-page
     # numbering and the page_header emission; pdf.py:82-93 / html.py:113-121)
-    if want & {"text", "html"}:
+    if want_text or want_html:
         page_no = 0
+        n_text = 0
+        n_html = 0
         for paras, _kinds, _lo in metas:
             paragraphs = flatten_blocks(
                 repair_ligatures("\n\n".join(paras)), max_sentences
@@ -187,13 +189,18 @@ def extract_from_pages(
             if not paragraphs:
                 continue
             page_no += 1
-            emit("page_header", PAGE_HEADER_TEMPLATE.format(n=page_no))
+            append(
+                (doc_id, "page_header",
+                 PAGE_HEADER_TEMPLATE.format(n=page_no), None, page_no - 1)
+            )
             for para in paragraphs:
-                if "html" in want:
-                    emit("html", f"<p>{para}</p>")
-                if "text" in want:
+                if want_html:
+                    append((doc_id, "html", f"<p>{para}</p>", None, n_html))
+                    n_html += 1
+                if want_text:
                     for line in wrap_paragraph(para):
-                        emit("text", line)
+                        append((doc_id, "text", line, None, n_text))
+                        n_text += 1
 
     # --- whole-document formats
     if want & {"docx_para", "markdown"}:
@@ -202,22 +209,37 @@ def extract_from_pages(
             repair_ligatures("\n\n".join(merged)), max_sentences
         )
         if "docx_para" in want:
+            n = 0
             for para in doc_paragraphs:
-                if para.strip():
-                    emit("docx_para", para.strip())
+                stripped = para.strip()
+                if stripped:
+                    append((doc_id, "docx_para", stripped, None, n))
+                    n += 1
         if "markdown" in want:
-            for block in markdown_blocks(doc_paragraphs):
-                emit("markdown", block)
+            # markdown_blocks inlined: list items and plain paragraphs both
+            # render verbatim, so only the heading check decides anything
+            heading = _looks_like_heading
+            n = 0
+            for para in doc_paragraphs:
+                append(
+                    (doc_id, "markdown",
+                     f"# {para}" if heading(para) else para, None, n)
+                )
+                n += 1
 
     # --- layout-preserving mode: raw pages, one span each, no cleanup
     if "layout_text" in want:
+        n = 0
         for page_text in raw_pages:
             if page_text.strip():
-                emit("layout_text", page_text)
+                append((doc_id, "layout_text", page_text, None, n))
+                n += 1
 
     # --- media passthrough, original relative order
+    n = 0
     for ref in media:
-        emit("media_ref", None, ref)
+        append((doc_id, "media_ref", None, ref, n))
+        n += 1
 
     return rows
 

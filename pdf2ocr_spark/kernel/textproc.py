@@ -145,58 +145,81 @@ def rebuild_paragraphs_meta(text: str) -> tuple:
     exactly the metadata ``merge_page_paragraphs`` needs to reconstruct
     the whole-document FSM from per-page runs.
     """
-    raw_lines = text.splitlines()
-
+    # Flush and the helper predicates are inlined and every hot name is a
+    # local: this loop runs once per visual line of every page on the
+    # flagship extraction path and was ~1/3 of the whole kernel. ``tail``
+    # mirrors open_para[-1][-1] (maintained on every append) so the two
+    # sentence-terminal tests index nothing.
     done: List[str] = []
     kinds: List[str] = []
     open_para: List[str] = []
     open_kind = "r"
+    tail = ""
+    dapp = done.append
+    kapp = kinds.append
+    oapp = open_para.append
+    terminal = _TERMINAL_CHARS
+    bullets = _BULLET_CHARS
+    hfirst = _HEADING_FIRST
+    h_match = RE_HEADING_SHAPE.match
+    pn_match = RE_PAGE_NUMBER_LINE.match
+    sh_match = RE_SELF_HEADER_LINE.match
 
-    def flush() -> None:
-        if open_para:
-            done.append(" ".join(open_para))
-            kinds.append(open_kind)
-            open_para.clear()
-
-    for raw in raw_lines:
+    for raw in text.splitlines():
         line = raw.strip()
 
         if not line:
             # blank line: only a real paragraph break if the open paragraph
             # already reads as a finished sentence (entries are stripped and
             # non-empty, so the last char IS the RE_SENTENCE_TERMINAL test)
-            if open_para and open_para[-1][-1] in _TERMINAL_CHARS:
-                flush()
+            if open_para and tail in terminal:
+                dapp(" ".join(open_para))
+                kapp(open_kind)
+                open_para.clear()
             continue
 
         # first-char gates: a stripped line matches the page-number regex
         # only if it starts with a digit, the self-header only with p/P
         c0 = line[0]
-        if (c0.isdigit() and RE_PAGE_NUMBER_LINE.match(line)) or (
-            c0 in "pP" and RE_SELF_HEADER_LINE.match(line)
+        if (c0.isdigit() and pn_match(line)) or (
+            c0 in "pP" and sh_match(line)
         ):
             continue
 
-        if _looks_like_heading(line):
-            flush()
-            done.append(line)
-            kinds.append("h")
+        if (len(line) > 3 and line.isupper()) or (
+            c0 in hfirst and h_match(line)
+        ):
+            if open_para:
+                dapp(" ".join(open_para))
+                kapp(open_kind)
+                open_para.clear()
+            dapp(line)
+            kapp("h")
             continue
 
-        if _looks_like_list_item(line):
-            flush()
+        if c0 in bullets or (len(line) > 2 and c0.isdigit() and line[1] in ".)"):
+            if open_para:
+                dapp(" ".join(open_para))
+                kapp(open_kind)
+                open_para.clear()
             open_kind = "l"
-            open_para.append(line)
+            oapp(line)
+            tail = line[-1]
             continue
 
-        if open_para and open_para[-1][-1] in _TERMINAL_CHARS and line[0].isupper():
-            flush()
+        if open_para and tail in terminal and c0.isupper():
+            dapp(" ".join(open_para))
+            kapp(open_kind)
+            open_para.clear()
         if not open_para:
             open_kind = "r"
-        open_para.append(line)
+        oapp(line)
+        tail = line[-1]
 
     last_from_open = bool(open_para)
-    flush()
+    if open_para:
+        dapp(" ".join(open_para))
+        kapp(open_kind)
     return done, kinds, last_from_open
 
 
@@ -258,9 +281,9 @@ def strip_boilerplate_lines(pages: Sequence[str]) -> List[str]:
     if n_pages < 3:
         return list(pages)
 
+    split_pages = [page.split("\n") for page in pages]
     page_hits: Counter = Counter()
-    for page in pages:
-        lines = page.split("\n")
+    for lines in split_pages:
         edge = lines[:2] + lines[-2:]
         page_hits.update({ln.strip() for ln in edge if ln.strip()})
 
@@ -270,8 +293,8 @@ def strip_boilerplate_lines(pages: Sequence[str]) -> List[str]:
         return list(pages)
 
     return [
-        "\n".join(ln for ln in page.split("\n") if ln.strip() not in boilerplate)
-        for page in pages
+        "\n".join(ln for ln in lines if ln.strip() not in boilerplate)
+        for lines in split_pages
     ]
 
 
