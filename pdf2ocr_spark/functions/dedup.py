@@ -247,6 +247,11 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
 
 
 #: output schema of the blocked-intersection kernel (see _jaccard_block_kernel)
+#: dense-matrix pair-count cutover (cells). Bounded by per-task MEMORY
+#: TRAFFIC, not speed of one task: tasks run cores-wide concurrently and a
+#: matrix allocation per task multiplies page-fault/bandwidth pressure.
+_BINCOUNT_MAX_CELLS = 64_000_000
+
 _JACCARD_BLOCK_SCHEMA = (
     "doc_a long, doc_b long, n_inter long, sh_a long, sh_b long"
 )
@@ -369,7 +374,7 @@ def _jaccard_block_kernel(threshold: float):
         # over packed 64-bit local row keys.
         n_l = left.num_rows
         n_r = right.num_rows
-        if n_l * n_r <= 64_000_000:
+        if n_l * n_r <= _BINCOUNT_MAX_CELLS:
             keys = a_rows * np.int64(n_r) + b_rows
             cnt = np.bincount(keys, minlength=n_l * n_r)
             upair = np.flatnonzero(cnt)

@@ -24,6 +24,18 @@ ENGINE_CONFS = {
     # parquet scans: stay vectorized, prune aggressively
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # glibc allocator tuning for the Python workers (applies at any
+    # executor width; matters more the more cores per box): numpy/Arrow
+    # kernels allocate multi-MB temporaries per batch, and glibc mmaps
+    # every block above its 32 MiB dynamic-threshold cap — so cores-wide
+    # concurrent kernel tasks turn into an mmap/munmap + page-zeroing
+    # storm that serializes IN THE KERNEL (measured on the blocked
+    # jaccard kernel at local[32]: 85-99% system CPU, 13-15 s tasks
+    # whose pure-numpy work is 0.3-1.5 s; pinning the threshold keeps
+    # big buffers on the reusable heap -> stable 9 s query walls, ~3x).
+    # Explicitly setting the thresholds disables the dynamic cap.
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "268435456",
     # keep driver-side results reasonable during tests
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
