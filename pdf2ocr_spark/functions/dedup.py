@@ -382,10 +382,16 @@ def _jaccard_block_kernel(threshold: float):
             ar = upair // n_r
             br = upair - ar * n_r
         else:
-            keys = a_rows << np.int64(32) | b_rows
+            # narrowest packed key that fits halves the sort's memory
+            # traffic (the dominant cost of this path)
+            if n_l * n_r < 2**31:
+                keys = (a_rows * np.int64(n_r) + b_rows).astype(np.int32)
+            else:
+                keys = a_rows * np.int64(n_r) + b_rows
             upair, n_inter = np.unique(keys, return_counts=True)
-            ar = (upair >> np.int64(32)).astype(np.int64)
-            br = (upair & np.int64(0xFFFFFFFF)).astype(np.int64)
+            upair = upair.astype(np.int64, copy=False)
+            ar = upair // n_r
+            br = upair - ar * n_r
 
         la_ids = left.column("doc_id").to_numpy(zero_copy_only=False)
         ra_ids = right.column("doc_id").to_numpy(zero_copy_only=False)

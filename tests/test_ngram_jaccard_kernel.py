@@ -114,3 +114,28 @@ def test_single_block_degenerate(spark):
     got = _run(spark, rows, blocks=2)
     got = {k: v for k, v in got.items() if k[0] < 1e7 and k[1] < 1e7}
     assert got == {(1, 2): 1.0}
+
+
+def test_sort_path_matches_bincount_path(spark, monkeypatch):
+    """The kernel's two pair-counting paths (dense bincount vs packed-key
+    sort, selected by _BINCOUNT_MAX_CELLS) must be interchangeable: force
+    the sort path — which production-sized blocks take — and require the
+    identical result on a corpus with cross-block near-dup pairs."""
+    base = [
+        (
+            i,
+            " ".join(
+                "w" + chr(ord("a") + (i * 5 + k) % 17) for k in range(12)
+            ),
+        )
+        for i in range(30)
+    ]
+    twins = [
+        (100 + i, "qq " + t.split(" ", 1)[1]) for i, t in base if i % 3 == 0
+    ]
+    rows = base + twins
+    expect = _run(spark, rows, blocks=3)
+    monkeypatch.setattr(dedup, "_BINCOUNT_MAX_CELLS", 0)
+    got = _run(spark, rows, blocks=3)
+    assert got == pytest.approx(expect)
+    assert len(got) > 0
