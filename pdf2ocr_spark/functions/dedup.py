@@ -247,10 +247,15 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
 
 
 #: output schema of the blocked-intersection kernel (see _jaccard_block_kernel)
-#: dense-matrix pair-count cutover (cells). Bounded by per-task MEMORY
-#: TRAFFIC, not speed of one task: tasks run cores-wide concurrently and a
-#: matrix allocation per task multiplies page-fault/bandwidth pressure.
-_BINCOUNT_MAX_CELLS = 64_000_000
+#: per-SEGMENT dense pair-count budget (cells; 8M = one 64 MB int64
+#: buffer). Bounds per-task MEMORY TRAFFIC, not single-task speed: kernel
+#: tasks run cores-wide concurrently and every per-task allocation
+#: multiplies page-fault/bandwidth pressure (the unsegmented 378 MB
+#: matrix x 32 workers was measurable as 85-99% system CPU before the
+#: allocator pins; segmentation keeps the high-water flat at ANY block
+#: size). Blocks whose right side alone exceeds the budget fall back to
+#: the packed-key sort path.
+_BINCOUNT_MAX_CELLS = 8_000_000
 
 _JACCARD_BLOCK_SCHEMA = (
     "doc_a long, doc_b long, n_inter long, sh_a long, sh_b long"
@@ -346,42 +351,81 @@ def _jaccard_block_kernel(threshold: float):
         rstart = np.zeros(n_codes, dtype=np.int64)
         np.cumsum(rcnt[:-1], out=rstart[1:])
 
-        # enumerate co-occurrences: every L posting crosses every R
-        # posting of the same code — all repeat/arange arithmetic
-        rep = rcnt[lcode_s]                      # per-L-posting fan-out
-        total = int(rep.sum())
-        if total == 0:
-            return empty
-        a_rows = np.repeat(lrow_s, rep)
-        out_start = np.zeros(len(rep), dtype=np.int64)
-        np.cumsum(rep[:-1], out=out_start[1:])
-        within = np.arange(total, dtype=np.int64) - np.repeat(out_start, rep)
-        b_rows = rrow_s[np.repeat(rstart[lcode_s], rep) + within]
-        if diag:
-            # on the diagonal each unordered pair is enumerated both ways;
-            # keep one orientation early (halves the pack+count below)
-            m = a_rows < b_rows
-            a_rows, b_rows = a_rows[m], b_rows[m]
-            if not len(a_rows):
-                return empty
-
-        # count pairs. Fast path: when the dense (row_a x row_b) count
-        # matrix fits comfortably (block pairs at bench scale), bincount
-        # into it — O(co-occurrences + cells) with no sort; measured ~4x
-        # cheaper than sorting the packed keys, which dominated the
-        # kernel (125M distinct pairs at 10x). Fallback (and the path
-        # production-sized blocks at 10^12 docs would take): one sort
-        # over packed 64-bit local row keys.
+        # Enumerate co-occurrences (every L posting crosses every R
+        # posting of the same code — all repeat/arange arithmetic) and
+        # count pairs, in LEFT-ROW SEGMENTS: each segment's dense count
+        # buffer AND enumeration temporaries are bounded by
+        # _BINCOUNT_MAX_CELLS whatever the block size, so per-task memory
+        # stays flat as blocks grow (kernel tasks run cores-wide
+        # concurrently — any per-task allocation multiplies; the
+        # unsegmented dense matrix at 10x was 378 MB/task and the
+        # unsegmented enumeration ~200 MB/task of temporaries).
+        # Segments partition by left row, so their pair sets are
+        # DISJOINT and results concatenate — no cross-segment merge.
+        # Dense bincount counting (no sort over the packed keys, which
+        # measured as the kernel floor: 125M distinct pairs at 10x);
+        # the sort path remains only for blocks whose single right side
+        # exceeds the cell budget.
         n_l = left.num_rows
         n_r = right.num_rows
-        if n_l * n_r <= _BINCOUNT_MAX_CELLS:
-            keys = a_rows * np.int64(n_r) + b_rows
-            cnt = np.bincount(keys, minlength=n_l * n_r)
-            upair = np.flatnonzero(cnt)
-            n_inter = cnt[upair]
-            ar = upair // n_r
-            br = upair - ar * n_r
+
+        def _enum(lc, lr):
+            """co-occurring (a_row_local, b_row) pairs for the L postings
+            (lc=codes, lr=rows) — empty result -> (None, None)."""
+            rep = rcnt[lc]
+            total = int(rep.sum())
+            if total == 0:
+                return None, None
+            a_rows = np.repeat(lr, rep)
+            out_start = np.zeros(len(rep), dtype=np.int64)
+            np.cumsum(rep[:-1], out=out_start[1:])
+            within = (
+                np.arange(total, dtype=np.int64) - np.repeat(out_start, rep)
+            )
+            b_rows = rrow_s[np.repeat(rstart[lc], rep) + within]
+            return a_rows, b_rows
+
+        if n_r <= _BINCOUNT_MAX_CELLS:
+            seg_rows = max(1, _BINCOUNT_MAX_CELLS // n_r)
+            ars, brs, nis = [], [], []
+            for r0 in range(0, n_l, seg_rows):
+                r1 = min(r0 + seg_rows, n_l)
+                m = (lrow_s >= r0) & (lrow_s < r1)
+                a_rows, b_rows = _enum(lcode_s[m], lrow_s[m] - r0)
+                if a_rows is None:
+                    continue
+                if diag:
+                    # each unordered pair is enumerated both ways; keep
+                    # one orientation early (halves the count below)
+                    keep_m = (a_rows + r0) < b_rows
+                    a_rows, b_rows = a_rows[keep_m], b_rows[keep_m]
+                    if not len(a_rows):
+                        continue
+                cnt = np.bincount(
+                    a_rows * np.int64(n_r) + b_rows,
+                    minlength=(r1 - r0) * n_r,
+                )
+                upair = np.flatnonzero(cnt)
+                if not len(upair):
+                    continue
+                a_loc = upair // n_r
+                nis.append(cnt[upair])
+                ars.append(a_loc + r0)
+                brs.append(upair - a_loc * n_r)
+            if not ars:
+                return empty
+            ar = np.concatenate(ars)
+            br = np.concatenate(brs)
+            n_inter = np.concatenate(nis)
         else:
+            a_rows, b_rows = _enum(lcode_s, lrow_s)
+            if a_rows is None:
+                return empty
+            if diag:
+                m = a_rows < b_rows
+                a_rows, b_rows = a_rows[m], b_rows[m]
+                if not len(a_rows):
+                    return empty
             # narrowest packed key that fits halves the sort's memory
             # traffic (the dominant cost of this path)
             if n_l * n_r < 2**31:
