@@ -595,8 +595,11 @@ def ngram_jaccard_pairs(
         F.count("*").alias("_n_str"),
     )
     gate = per_h.agg(
-        F.sum(
-            F.when(F.col("_n_str") > 1, 1).otherwise(0)
+        # coalesce: sum over an EMPTY corpus is NULL, and assert_true
+        # treats a NULL condition as failure — an empty input must gate
+        # through (zero collisions), not crash
+        F.coalesce(
+            F.sum(F.when(F.col("_n_str") > 1, 1).otherwise(0)), F.lit(0)
         ).alias("_nc"),
         F.collect_list(
             F.when(F.col("df") > MAX_SHINGLE_DF, F.col("h"))

@@ -116,6 +116,13 @@ def test_single_block_degenerate(spark):
     assert got == {(1, 2): 1.0}
 
 
+def test_empty_corpus_yields_no_pairs(spark):
+    # the collision-witness assert must gate through on an empty input
+    # (sum over zero rows is NULL, and assert_true(NULL) throws)
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.ngram_jaccard_pairs(docs, blocks=2).collect() == []
+
+
 def test_sort_path_matches_bincount_path(spark, monkeypatch):
     """The kernel's two pair-counting paths (dense bincount vs packed-key
     sort, selected by _BINCOUNT_MAX_CELLS) must be interchangeable: force
